@@ -1,0 +1,90 @@
+"""SegNet, TPU-native functional reimplementation of models/segnet.py.
+
+Architecture parity (models/segnet.py:19-118):
+- VGG-style encoder of 2-2-3-3-3 conv3x3+BN+ReLU blocks,
+  64->128->256->512->512, each stage followed by 2x2 max pool that records
+  argmax indices and the pre-pool shape;
+- mirrored decoder: index-unpool to the recorded shape, then conv blocks
+  (the final decoder block emits class logits through BN+ReLU, matching the
+  reference).
+
+29.4M parameters (verified in tests/test_models.py).
+
+TPU-native: the max-pool-index unpooling (torch's sparse MaxUnpool2d scatter)
+is re-expressed as a dense gather — see ops/pooling.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_camvid_tpu.ops.conv import conv_bn_relu_init, conv_bn_relu_apply
+from pytorch_camvid_tpu.ops.pooling import (
+    max_pool_2x2_with_argmax, max_unpool_2x2)
+
+
+def _segnet_spec(in_ch: int, num_classes: int):
+    return [
+        ("encoder1", [(in_ch, 64), (64, 64)]),
+        ("encoder2", [(64, 128), (128, 128)]),
+        ("encoder3", [(128, 256), (256, 256), (256, 256)]),
+        ("encoder4", [(256, 512), (512, 512), (512, 512)]),
+        ("encoder5", [(512, 512), (512, 512), (512, 512)]),
+        ("decoder5", [(512, 512), (512, 512), (512, 512)]),
+        ("decoder4", [(512, 512), (512, 512), (512, 256)]),
+        ("decoder3", [(256, 256), (256, 256), (256, 128)]),
+        ("decoder2", [(128, 128), (128, 64)]),
+        ("decoder1", [(64, 64), (64, num_classes)]),
+    ]
+
+
+def init_segnet(key: jax.Array, input_channels: int = 3, class_num: int = 12):
+    spec = _segnet_spec(input_channels, class_num)
+    n_blocks = sum(len(pairs) for _, pairs in spec)
+    keys = jax.random.split(key, n_blocks)
+    params, state = {}, {}
+    k = 0
+    for name, pairs in spec:
+        params[name], state[name] = [], []
+        for cin, cout in pairs:
+            p, s = conv_bn_relu_init(keys[k], cin, cout)
+            params[name].append(p)
+            state[name].append(s)
+            k += 1
+    return {"params": params, "state": state}
+
+
+def apply_segnet(variables, x: jax.Array, *, train: bool = False,
+                 axis_name: Optional[str] = None,
+                 compute_dtype=jnp.float32):
+    """Forward pass. x: (N, H, W, C) float. Returns (logits NHWC, new_state)."""
+    params, state = variables["params"], variables["state"]
+    ns = {}
+
+    def stage(n, v):
+        new_states = []
+        for p, s in zip(params[n], state[n]):
+            v, s2 = conv_bn_relu_apply(p, s, v, train=train,
+                                       axis_name=axis_name,
+                                       compute_dtype=compute_dtype)
+            new_states.append(s2)
+        ns[n] = new_states
+        return v
+
+    x = x.astype(compute_dtype)
+    skips = []  # (indices, pre-pool (H, W)) per encoder stage
+    for i in range(1, 6):
+        x = stage(f"encoder{i}", x)
+        hw = (x.shape[1], x.shape[2])
+        x, idx = max_pool_2x2_with_argmax(x)
+        skips.append((idx, hw))
+
+    for i in range(5, 0, -1):
+        idx, hw = skips[i - 1]
+        x = max_unpool_2x2(x, idx, hw)
+        x = stage(f"decoder{i}", x)
+
+    return x.astype(jnp.float32), ns

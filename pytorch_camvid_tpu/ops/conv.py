@@ -1,0 +1,105 @@
+"""Conv + BatchNorm + ReLU — the workhorse block of both models.
+
+Reference: ``BasicConv2d`` (models/unet.py:5-17) and ``BasicConv``
+(models/segnet.py:5-17): Conv2d 3x3 pad-1 (cuDNN) -> BatchNorm2d -> ReLU.
+
+TPU-native design:
+- NHWC layout / HWIO kernels — the native layout for TPU convolutions;
+  XLA lowers ``lax.conv_general_dilated`` onto the MXU.
+- The block is a *function pair* (init, apply) over a parameter pytree; BN
+  running stats live in a separate mutable-state pytree threaded through
+  the (pure) apply.
+- Compute may run in bfloat16 (params stay float32); XLA fuses the BN affine
+  + ReLU epilogue into the convolution, so no hand-written fusion is needed
+  for the elementwise tail — the conv itself is the MXU op.
+- Under data parallelism, batch statistics can be averaged across the mesh
+  ('sync BN') with ``lax.pmean`` when ``axis_name`` is given; the reference
+  is single-device (train.py:95) so per-replica stats are also supported.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pytorch_camvid_tpu.ops.initializers import conv_kernel_init, conv_bias_init
+
+BN_EPS = 1e-5       # torch.nn.BatchNorm2d default
+BN_MOMENTUM = 0.1   # torch: running = (1-m)*running + m*batch
+
+
+def conv2d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
+           stride: int = 1, padding: str | Tuple = "SAME") -> jax.Array:
+    """NHWC conv with HWIO kernel; accumulates in float32 on the MXU."""
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def conv_bn_relu_init(key: jax.Array, cin: int, cout: int, ksize: int = 3):
+    """Init one conv3x3+BN+ReLU block.
+
+    Returns (params, state): params = {w, b, scale, bias},
+    state = {mean, var} (BN running statistics).
+    """
+    kw, kb = jax.random.split(key)
+    fan_in = cin * ksize * ksize
+    params = {
+        "w": conv_kernel_init(kw, (ksize, ksize, cin, cout)),
+        "b": conv_bias_init(kb, cout, fan_in),
+        "scale": jnp.ones((cout,), jnp.float32),
+        "bias": jnp.zeros((cout,), jnp.float32),
+    }
+    state = {
+        "mean": jnp.zeros((cout,), jnp.float32),
+        "var": jnp.ones((cout,), jnp.float32),
+    }
+    return params, state
+
+
+def conv_bn_relu_apply(params, state, x: jax.Array, *, train: bool,
+                       axis_name: Optional[str] = None,
+                       compute_dtype=jnp.float32):
+    """Apply conv3x3(pad1) + BN + ReLU.
+
+    In train mode BN uses batch statistics (biased variance, matching torch's
+    normalization; running_var is updated with the *unbiased* estimate, also
+    matching torch) and returns updated running stats. In eval mode running
+    stats are used and state is returned unchanged.
+    """
+    y = conv2d(x.astype(compute_dtype), params["w"], params["b"])
+    y = y.astype(jnp.float32)
+
+    if train:
+        # mean/var over N,H,W per channel.
+        mean = jnp.mean(y, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(y), axis=(0, 1, 2)) - jnp.square(mean)
+        if axis_name is not None:
+            # sync-BN: average moments across the data-parallel mesh axis.
+            mean = lax.pmean(mean, axis_name)
+            var = lax.pmean(jnp.mean(jnp.square(y), axis=(0, 1, 2)),
+                            axis_name) - jnp.square(mean)
+        n = y.shape[0] * y.shape[1] * y.shape[2]
+        if axis_name is not None:
+            n = n * lax.psum(1, axis_name)
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+
+    inv = lax.rsqrt(var + BN_EPS) * params["scale"]
+    y = (y - mean) * inv + params["bias"]
+    y = jnp.maximum(y, 0.0)
+    return y.astype(compute_dtype), new_state

@@ -1,0 +1,50 @@
+"""Cross-entropy loss (reference: nn.CrossEntropyLoss at train.py:105,
+eval.py:42, lr_finder.py:47 — fused log-softmax + NLL).
+
+The reference uses the *unweighted* default with no ignore_index (so the Void
+class is trained on; SURVEY.md §2.5.3). We support optional per-class weights
+and an ignore_index with torch's exact 'mean' reduction semantics:
+
+    loss = sum_i w[y_i] * nll_i / sum_i w[y_i]      (ignored pixels excluded)
+
+computed fully on device over NHWC logits.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
+                       class_weights: Optional[jax.Array] = None,
+                       ignore_index: Optional[int] = None) -> jax.Array:
+    """Mean cross entropy.
+
+    Args:
+      logits: (N, H, W, C) float.
+      labels: (N, H, W) int.
+      class_weights: optional (C,) float per-class weights.
+      ignore_index: optional label value excluded from the loss.
+    """
+    logits = logits.astype(jnp.float32)
+    c = logits.shape[-1]
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    safe_labels = labels
+    if ignore_index is not None:
+        safe_labels = jnp.where(labels == ignore_index, 0, labels)
+    picked = jnp.take_along_axis(
+        logits, safe_labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    nll = logz - picked
+
+    if class_weights is None:
+        w = jnp.ones((), jnp.float32)
+        w = jnp.broadcast_to(w, nll.shape)
+    else:
+        w = jnp.take(class_weights.astype(jnp.float32),
+                     safe_labels.astype(jnp.int32))
+    if ignore_index is not None:
+        w = jnp.where(labels == ignore_index, 0.0, w)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
