@@ -1,0 +1,67 @@
+"""Eval CLI (reference: eval.py — which ships with broken imports,
+SURVEY.md §2.5.8; this one works).
+
+Loads a checkpoint, runs the validation set, prints mIOU / precision /
+recall / loss from the on-device confusion matrix (the reference uses the
+sklearn-backed legacy/metrics.py Metrics class on CPU)."""
+
+import argparse
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pytorch_camvid_tpu.config import settings
+from pytorch_camvid_tpu.data import CamVid
+from pytorch_camvid_tpu.data.augment import make_eval_normalize
+from pytorch_camvid_tpu.data.pipeline import DeviceDataLoader
+from pytorch_camvid_tpu.models import get_model
+from pytorch_camvid_tpu.ops.metrics import (
+    iou_from_confusion, precision_recall_from_confusion)
+from pytorch_camvid_tpu.train import TrainState, adamw, make_eval_step
+from pytorch_camvid_tpu.train.checkpoint import load_checkpoint
+from pytorch_camvid_tpu.train.loop import evaluate
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-weight", type=str, required=True,
+                        help="weight file path")
+    parser.add_argument("-b", type=int, default=10,
+                        help="batch size for dataloader")
+    parser.add_argument("-net", type=str, default="unet",
+                        help="network name")
+    parser.add_argument("-data", type=str, default=settings.DATA_PATH,
+                        help="dataset root folder")
+    args = parser.parse_args()
+
+    valid_dataset = CamVid(args.data, image_set="val",
+                           image_size=settings.IMAGE_SIZE)
+
+    init_fn, apply_fn = get_model(args.net, 3, valid_dataset.class_num)
+    variables = init_fn(jax.random.PRNGKey(0))
+    opt = adamw()
+    template = TrainState.create(variables, opt)
+    state, meta = load_checkpoint(args.weight, template)
+
+    eval_fn = jax.jit(make_eval_step(
+        apply_fn, valid_dataset.class_num,
+        ignore_index=valid_dataset.ignore_index, loss_ignore_index=255))
+    loader = DeviceDataLoader(valid_dataset.images, valid_dataset.labels,
+                              args.b)
+    normalize = make_eval_normalize(settings.MEAN, settings.STD)
+
+    loss_sum, cm = evaluate(state, eval_fn, loader, normalize, args.b)
+    cmj = jnp.asarray(cm)
+    iou = np.asarray(iou_from_confusion(cmj))
+    precision, recall = (np.asarray(a) for a in
+                         precision_recall_from_confusion(cmj))
+
+    ig = valid_dataset.ignore_index
+    keep = [i for i in range(valid_dataset.class_num) if i != ig]
+    print("Iou for each class:")
+    print(", ".join(f"{n}:{v:.4f}" for n, v in
+                    zip(valid_dataset.class_names, iou)))
+    print(f"miou: {np.nanmean(iou[keep]):.4f}")
+    print(f"precision: {np.nanmean(precision[keep]):.4f}")
+    print(f"recall: {np.nanmean(recall[keep]):.4f}")
+    print(f"loss: {loss_sum / len(valid_dataset.images):.4f}")

@@ -34,10 +34,12 @@ BN_MOMENTUM = 0.1   # torch: running = (1-m)*running + m*batch
 def conv2d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
            stride: int = 1, padding: str | Tuple = "SAME") -> jax.Array:
     """NHWC conv with HWIO kernel; accumulates in float32 on the MXU."""
+    # No preferred_element_type: output dtype follows the inputs (bf16 in /
+    # bf16 out keeps fwd and bwd dtypes consistent); the MXU still
+    # accumulates bf16 products in float32 internally.
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
         y = y + b.astype(y.dtype)

@@ -32,14 +32,13 @@ def confusion_matrix(preds: jax.Array, labels: jax.Array, num_classes: int,
     """
     p = preds.reshape(-1).astype(jnp.int32)
     l = labels.reshape(-1).astype(jnp.int32)
-    flat = l * num_classes + p
+    # labels outside [0, C) are always dropped (used by the eval loop to pad
+    # ragged final batches with label=255 sentinels)
+    valid = (l >= 0) & (l < num_classes)
     if ignore_index is not None:
-        valid = l != ignore_index
-        # route ignored pixels to a scratch bucket past the real bins
-        flat = jnp.where(valid, flat, num_classes * num_classes)
-        cm = jnp.bincount(flat, length=num_classes * num_classes + 1)[:-1]
-    else:
-        cm = jnp.bincount(flat, length=num_classes * num_classes)
+        valid &= l != ignore_index
+    flat = jnp.where(valid, l * num_classes + p, num_classes * num_classes)
+    cm = jnp.bincount(flat, length=num_classes * num_classes + 1)[:-1]
     return cm.reshape(num_classes, num_classes).astype(jnp.float64
         if jax.config.jax_enable_x64 else jnp.float32)
 

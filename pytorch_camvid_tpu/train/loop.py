@@ -1,0 +1,237 @@
+"""Library-level training / evaluation loops.
+
+The reference keeps its loop inline in a CLI monolith (train.py:116-240,
+SURVEY.md §1 notes there is no library train()); here the loops are library
+functions the CLI scripts call, so they are testable and reusable.
+
+Console/TB surface parity:
+- per-batch line 'Training Epoch:{e} [{seen}/{total}] Lr:… Loss:… Beta1:…'
+  (train.py:136-144),
+- per-epoch per-class IoU/acc dumps + 'Mean_iou'/'All_acc' (train.py:200-209)
+  — computed from the epoch-level confusion matrix, which fixes the
+  reference's mis-normalized running sums (SURVEY.md §2.5.5),
+- TB scalars Train/LearningRate, Train/Beta1, Test/mIOU, Test/Acc,
+  Test/Loss, last-layer grad norms, parameter histograms,
+- best/regular checkpoints with SAVE_EPOCH cadence; the best-IoU tracker is
+  NOT reset every epoch (fixes SURVEY.md §2.5.4).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pytorch_camvid_tpu.config import settings as default_settings
+from pytorch_camvid_tpu.data.augment import (
+    AugmentConfig, make_train_augment, make_eval_normalize)
+from pytorch_camvid_tpu.data.pipeline import DeviceDataLoader
+from pytorch_camvid_tpu.models import get_model
+from pytorch_camvid_tpu.ops.metrics import (
+    accuracy_from_confusion, iou_from_confusion)
+from pytorch_camvid_tpu.parallel import (
+    make_mesh, jit_train_step, jit_eval_step, batch_sharding,
+    replicated_sharding)
+from pytorch_camvid_tpu.train import (
+    TrainState, adamw, make_train_step, make_eval_step, onecycle_lr,
+    onecycle_beta1)
+from pytorch_camvid_tpu.train.checkpoint import (
+    checkpoint_name, get_weight_path, load_checkpoint, parse_epoch,
+    save_checkpoint)
+
+
+@dataclass
+class TrainConfig:
+    net: str = "unet"
+    batch_size: int = 10          # train.py:22 default
+    lr: float = 5e-4              # train.py:24
+    epochs: int = 120             # train.py:26
+    weight_decay: float = 0.0     # train.py:27
+    resume: bool = False
+    seed: int = 0
+    compute_dtype: str = "float32"
+    data_parallel: int = 0        # 0 = all local devices
+    checkpoint_dir: Optional[str] = None
+    log_dir: Optional[str] = None
+    class_weights: Optional[Sequence[float]] = None
+    loss_ignore_index: Optional[int] = None  # reference default: None
+    quiet: bool = False
+    save_epoch: int = 10
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def _pad_batch(images, labels, to_size: int, sentinel: int = 255):
+    n = images.shape[0]
+    if n == to_size:
+        return images, labels
+    pad = to_size - n
+    images = jnp.concatenate(
+        [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)])
+    labels = jnp.concatenate(
+        [labels, jnp.full((pad,) + labels.shape[1:], sentinel,
+                          jnp.int32 if labels.dtype == jnp.int32
+                          else labels.dtype)])
+    return images, labels
+
+
+def evaluate(state, eval_fn, loader: DeviceDataLoader, normalize,
+             batch_size: int):
+    """Run the eval loop; returns (avg_batch_loss_sum, confusion_matrix).
+
+    Final ragged batches are padded with label-255 sentinels which the
+    confusion matrix and (ignore-aware) loss both drop.
+    """
+    total_loss = 0.0
+    cm_total = None
+    for images, labels in loader.epoch(0):
+        images, labels = _pad_batch(images, labels.astype(jnp.int32),
+                                    batch_size)
+        x = normalize(images)
+        loss, cm = eval_fn(state, (x, labels))
+        total_loss += float(loss)
+        cm_total = cm if cm_total is None else cm_total + cm
+    return total_loss, np.asarray(cm_total)
+
+
+def print_epoch_metrics(cm: np.ndarray, class_names: Sequence[str],
+                        ignore_index: int, quiet=False):
+    """Per-class IoU/acc + mean IoU / all-acc (train.py:200-209 surface,
+    correctly normalized). Returns (miou, all_acc)."""
+    iou = np.asarray(iou_from_confusion(jnp.asarray(cm)))
+    all_acc, acc = accuracy_from_confusion(jnp.asarray(cm))
+    all_acc = float(all_acc)
+    acc = np.asarray(acc)
+    keep = [i for i in range(len(class_names)) if i != ignore_index]
+    miou = float(np.nanmean(iou[keep]))
+    if not quiet:
+        print("Iou for each class:")
+        print(", ".join(f"{n}:{i:.4f}" for n, i in zip(class_names, iou)))
+        print(f"Mean_iou {miou:.4f}")
+        print("Acc for each class:")
+        print(", ".join(f"{n}:{a:.4f}" for n, a in zip(class_names, acc)))
+        print(f"All_acc {all_acc:.4f}")
+    return miou, all_acc
+
+
+def run_training(cfg: TrainConfig, train_ds, val_ds,
+                 settings=default_settings, logger=None):
+    """Full training run (reference train.py:116-240). train_ds/val_ds must
+    expose .images/.labels (packed uint8), .class_num, .ignore_index,
+    .class_names."""
+    dtype = _dtype(cfg.compute_dtype)
+    mesh = make_mesh(cfg.data_parallel if cfg.data_parallel > 0 else None)
+    ndev = mesh.shape["data"]
+    if cfg.batch_size % ndev:
+        raise ValueError(f"batch size {cfg.batch_size} must divide over "
+                         f"{ndev} devices")
+
+    init_fn, apply_fn = get_model(cfg.net, 3, train_ds.class_num)
+    variables = init_fn(jax.random.PRNGKey(cfg.seed))
+    opt = adamw(weight_decay=cfg.weight_decay)
+    state = TrainState.create(variables, opt,
+                              rng=jax.random.PRNGKey(cfg.seed + 1))
+
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    train_loader = DeviceDataLoader(train_ds.images, train_ds.labels,
+                                    cfg.batch_size, shuffle=True,
+                                    seed=cfg.seed, drop_last=True,
+                                    sharding=bsh)
+    val_loader = DeviceDataLoader(val_ds.images, val_ds.labels,
+                                  cfg.batch_size, sharding=bsh)
+
+    steps_per_epoch = len(train_loader)
+    total_steps = steps_per_epoch * cfg.epochs
+
+    aug_cfg = AugmentConfig(mean=settings.MEAN, std=settings.STD,
+                            rotation_fill=train_ds.ignore_index,
+                            scale_fill=train_ds.ignore_index)
+    augment = make_train_augment(aug_cfg, compute_dtype=dtype)
+    normalize = make_eval_normalize(settings.MEAN, settings.STD, dtype)
+
+    cw = (jnp.asarray(cfg.class_weights, jnp.float32)
+          if cfg.class_weights is not None else None)
+    step = make_train_step(apply_fn, opt, onecycle_lr(cfg.lr, total_steps),
+                           onecycle_beta1(total_steps), class_weights=cw,
+                           ignore_index=cfg.loss_ignore_index,
+                           augment_fn=augment, compute_dtype=dtype)
+    train_step = jit_train_step(step, mesh)
+    eval_step = jit_eval_step(
+        make_eval_step(apply_fn, train_ds.class_num,
+                       ignore_index=train_ds.ignore_index,
+                       class_weights=cw, loss_ignore_index=255,
+                       compute_dtype=dtype), mesh)
+
+    state = jax.device_put(state, rep)
+
+    trained_epochs = 0
+    if cfg.resume and cfg.checkpoint_dir:
+        import os
+        weight_path = get_weight_path(os.path.dirname(cfg.checkpoint_dir))
+        if weight_path:
+            print(f"Loading weight file: {weight_path}...")
+            state, meta = load_checkpoint(weight_path, state, sharding=rep)
+            trained_epochs = meta.get("epoch", parse_epoch(weight_path))
+            print("Done loading!")
+
+    best_iou = 0.0  # NOT reset per epoch (fixes SURVEY.md §2.5.4)
+    history = []
+    n_train = train_ds.images.shape[0]
+
+    for epoch in range(trained_epochs + 1, cfg.epochs + 1):
+        start = time.time()
+        for batch_idx, batch in enumerate(train_loader.epoch(epoch - 1)):
+            state, metrics = train_step(state, batch)
+            if not cfg.quiet:
+                print("Training Epoch:{epoch} [{seen}/{total}] "
+                      "Lr:{lr:0.6f} Loss:{loss:0.4f} Beta1:{beta:0.4f}"
+                      .format(epoch=epoch,
+                              seen=batch_idx * cfg.batch_size
+                              + batch[0].shape[0],
+                              total=n_train, lr=float(metrics["lr"]),
+                              loss=float(metrics["loss"]),
+                              beta=float(metrics["beta1"])))
+            if logger is not None:
+                n_iter = (epoch - 1) * steps_per_epoch + batch_idx + 1
+                logger.last_layer_grad_norms(metrics, n_iter)
+        if logger is not None:
+            logger.scalar("Train/LearningRate", metrics["lr"], epoch)
+            logger.scalar("Train/Beta1", metrics["beta1"], epoch)
+            logger.param_histograms(state.params, epoch)
+        if not cfg.quiet:
+            print(f"time for training epoch {epoch} : "
+                  f"{time.time() - start:.2f}s")
+
+        test_start = time.time()
+        loss_sum, cm = evaluate(state, eval_step, val_loader, normalize,
+                                cfg.batch_size)
+        if not cfg.quiet:
+            print(f"Evaluation time comsumed:{time.time() - test_start:.2f}s")
+        miou, all_acc = print_epoch_metrics(cm, train_ds.class_names,
+                                            train_ds.ignore_index, cfg.quiet)
+        if logger is not None:
+            logger.scalar("Test/mIOU", miou, epoch)
+            logger.scalar("Test/Acc", all_acc, epoch)
+            logger.scalar("Test/Loss",
+                          loss_sum / max(val_ds.images.shape[0], 1), epoch)
+        history.append({"epoch": epoch, "miou": miou, "all_acc": all_acc})
+
+        if cfg.checkpoint_dir:
+            meta = {"epoch": epoch, "miou": miou, "net": cfg.net}
+            if best_iou < miou and epoch > cfg.epochs // 2:
+                best_iou = miou
+                save_checkpoint(checkpoint_name(cfg.checkpoint_dir, epoch,
+                                                "best"), state, meta)
+                continue  # same cadence quirk as train.py:232-240
+            if not epoch % cfg.save_epoch:
+                save_checkpoint(checkpoint_name(cfg.checkpoint_dir, epoch,
+                                                "regular"), state, meta)
+
+    return state, history

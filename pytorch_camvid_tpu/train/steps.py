@@ -1,0 +1,120 @@
+"""jit-fused train / eval steps (reference hot loops: train.py:122-151,
+train.py:180-197).
+
+TPU-native design: the whole iteration — optional on-device augmentation,
+forward, loss, backward, schedule evaluation, optimizer update, metric
+reduction — is one XLA program. Nothing crosses the host boundary per step
+except the scalars the caller chooses to log (the reference synced the loss
+to host every batch at train.py:136-144 and pulled full predictions to CPU
+for metrics at train.py:192; here metrics are a 12x12 matrix).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_camvid_tpu.ops.loss import cross_entropy_loss
+from pytorch_camvid_tpu.ops.metrics import confusion_matrix
+from pytorch_camvid_tpu.train.state import TrainState
+
+
+def head_block(params_or_grads):
+    """The output head's conv block — the reference's 'last layer' whose
+    grad norms go to TB (utils.py:15-36): UNet's ``output`` block
+    (models/unet.py:91) or SegNet's final ``decoder1`` block
+    (models/segnet.py:76)."""
+    if "output" in params_or_grads:
+        return params_or_grads["output"][0]
+    if "decoder1" in params_or_grads:
+        return params_or_grads["decoder1"][-1]
+    raise KeyError("no recognizable head block in params")
+
+
+def _last_layer_grad_norms(grads):
+    blk = head_block(grads)
+    return {"grad_norm_w": jnp.linalg.norm(blk["w"].reshape(-1)),
+            "grad_norm_b": jnp.linalg.norm(blk["b"].reshape(-1))}
+
+
+def make_train_step(apply_fn, optimizer, lr_schedule,
+                    beta1_schedule: Optional[Callable] = None,
+                    class_weights=None, ignore_index: Optional[int] = None,
+                    augment_fn: Optional[Callable] = None,
+                    axis_name: Optional[str] = None,
+                    compute_dtype=jnp.float32,
+                    log_grad_norms: bool = True):
+    """Build a pure train step: (state, (images, labels)) -> (state, metrics).
+
+    images: float NHWC already normalized, or raw uint8 if augment_fn is
+    given (augment_fn(key, images_u8, labels) -> (images_f32, labels)).
+    """
+
+    def step_fn(state: TrainState, batch):
+        images, labels = batch
+        rng, key = jax.random.split(state.rng)
+        if augment_fn is not None:
+            images, labels = augment_fn(key, images, labels)
+        labels = labels.astype(jnp.int32)
+
+        def loss_fn(params):
+            logits, new_bn = apply_fn(
+                {"params": params, "state": state.bn_state}, images,
+                train=True, axis_name=axis_name, compute_dtype=compute_dtype)
+            loss = cross_entropy_loss(logits, labels, class_weights,
+                                      ignore_index)
+            return loss, new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+
+        lr = lr_schedule(state.step)
+        beta1 = (beta1_schedule(state.step) if beta1_schedule is not None
+                 else jnp.asarray(0.9, jnp.float32))
+        new_params, new_opt = optimizer.update(
+            grads, state.opt_state, state.params, state.step, lr, beta1)
+
+        metrics = {"loss": loss, "lr": lr, "beta1": beta1}
+        if log_grad_norms:
+            metrics.update(_last_layer_grad_norms(grads))
+
+        new_state = TrainState(params=new_params, bn_state=new_bn,
+                               opt_state=new_opt, step=state.step + 1,
+                               rng=rng)
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_eval_step(apply_fn, num_classes: int,
+                   ignore_index: Optional[int] = None, class_weights=None,
+                   loss_ignore_index: Optional[int] = None,
+                   axis_name: Optional[str] = None,
+                   compute_dtype=jnp.float32):
+    """Build a pure eval step returning (loss_sum, confusion_matrix).
+
+    The confusion matrix is the single on-device reduction from which mIOU /
+    acc / precision / recall derive (legacy/metrics.py unified with
+    utils.py:162-228). Under data parallelism the matrix is psum-reduced.
+    """
+
+    def step_fn(state: TrainState, batch):
+        images, labels = batch
+        labels = labels.astype(jnp.int32)
+        logits, _ = apply_fn(state.variables(), images, train=False,
+                             compute_dtype=compute_dtype)
+        loss = cross_entropy_loss(logits, labels, class_weights,
+                                  loss_ignore_index)
+        preds = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(preds, labels, num_classes, ignore_index)
+        if axis_name is not None:
+            loss = jax.lax.pmean(loss, axis_name)
+            cm = jax.lax.psum(cm, axis_name)
+        return loss, cm
+
+    return step_fn

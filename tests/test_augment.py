@@ -1,0 +1,177 @@
+"""Golden tests: on-device augmentation vs the OpenCV/PIL operations the
+reference pipeline uses (transforms.py)."""
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+from PIL import Image, ImageEnhance
+
+from pytorch_camvid_tpu.data import augment as A
+
+
+def _img(h=40, w=56, c=3, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, c)).astype(np.uint8)
+
+
+def test_rotation_matches_cv2_warpaffine():
+    img = _img().astype(np.float32)
+    mask = np.random.default_rng(1).integers(0, 12, size=(40, 56)).astype(
+        np.uint8)
+    for angle in [7.3, -12.0, 30.0]:
+        center = tuple(np.array(img.shape[1::-1]) / 2)
+        rot = cv2.getRotationMatrix2D(center, angle, 1.0)
+        want_img = cv2.warpAffine(img, rot, img.shape[1::-1])
+        want_msk = cv2.warpAffine(mask, rot, mask.shape[1::-1],
+                                  flags=cv2.INTER_NEAREST,
+                                  borderMode=cv2.BORDER_CONSTANT,
+                                  borderValue=11)
+
+        inv = A._rotation_inverse(jnp.float32(angle), 40, 56)
+        got_img = np.asarray(A._affine_sample_bilinear(jnp.asarray(img), inv))
+        got_msk = np.asarray(A._affine_sample_nearest(jnp.asarray(mask), inv,
+                                                      11))
+        # interior pixels must match to float tolerance; cv2 border handling
+        # of partially-out-of-bounds taps differs at the frame edge
+        np.testing.assert_allclose(got_img[2:-2, 2:-2], want_img[2:-2, 2:-2],
+                                   atol=1e-2)
+        agree = (got_msk == want_msk).mean()
+        assert agree > 0.99, agree  # nearest rounding can differ on exact .5
+
+
+def test_gaussian_kernel_matches_cv2():
+    for sigma in [0.8, 1.5, 2.7]:
+        k = int(max(3.3 * sigma, 3))
+        k = k + 1 if k % 2 == 0 else k
+        want = cv2.getGaussianKernel(k, sigma).ravel()
+        got = np.asarray(A._gaussian_kernel_1d(jnp.float32(sigma),
+                                               jnp.float32(k)))
+        r = A._BLUR_TAPS // 2
+        lo = r - k // 2
+        np.testing.assert_allclose(got[lo: lo + k], want, atol=1e-6)
+        assert np.all(got[:lo] == 0) and np.all(got[lo + k:] == 0)
+
+
+def test_blur_matches_cv2():
+    img = _img(seed=2).astype(np.float32)
+    for sigma in [0.9, 2.2]:
+        k = int(max(3.3 * sigma, 3))
+        k = k + 1 if k % 2 == 0 else k
+        want = cv2.GaussianBlur(img, (k, k), sigmaX=sigma, sigmaY=sigma)
+        # drive through the public op with p=1 and a pinned sigma
+        kern = A._gaussian_kernel_1d(jnp.float32(sigma), jnp.float32(k))
+        x = jnp.asarray(img)[None]
+        r = A._BLUR_TAPS // 2
+        xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)), mode="reflect")
+        y = sum(kern[t] * xp[:, t:t + 40] for t in range(A._BLUR_TAPS))
+        yp = jnp.pad(y, ((0, 0), (0, 0), (r, r), (0, 0)), mode="reflect")
+        z = sum(kern[t] * yp[:, :, t:t + 56] for t in range(A._BLUR_TAPS))
+        np.testing.assert_allclose(np.asarray(z)[0], want, atol=1e-2)
+
+
+def test_brightness_contrast_match_reference_luts():
+    # factors on the 2^-12 grid have exact product semantics (see
+    # _quantize_factor); arbitrary float64 factors can differ by 1 uint8
+    # step at integer boundaries, checked separately below
+    img = _img(seed=3)
+    for f in [0.625, 1.0, 1.375]:
+        table = np.array([i * f for i in range(256)]).clip(0, 255).astype(
+            "uint8")
+        want = cv2.LUT(img, table)
+        got = np.asarray(A._adjust_brightness(
+            jnp.asarray(img, jnp.float32)[None], jnp.asarray([f])))[0]
+        np.testing.assert_array_equal(got.astype(np.uint8), want)
+
+        table = np.array([(i - 74) * f + 74 for i in range(256)]).clip(
+            0, 255).astype("uint8")
+        want = cv2.LUT(img, table)
+        got = np.asarray(A._adjust_contrast(
+            jnp.asarray(img, jnp.float32)[None], jnp.asarray([f])))[0]
+        np.testing.assert_array_equal(got.astype(np.uint8), want)
+
+    # arbitrary factor: at most 1 uint8 step, on few pixels
+    for f in [0.6, 1.4]:
+        table = np.array([i * f for i in range(256)]).clip(0, 255).astype(
+            "uint8")
+        want = cv2.LUT(img, table)
+        got = np.asarray(A._adjust_brightness(
+            jnp.asarray(img, jnp.float32)[None], jnp.asarray([f])))[0]
+        diff = np.abs(got.astype(int) - want.astype(int))
+        # factors off the 2^-12 grid: float64-vs-float32 representation
+        # noise causes at most one uint8 step (immaterial for jitter)
+        assert diff.max() <= 1 and (diff > 0).mean() < 0.3
+
+
+def test_saturation_close_to_pil():
+    img = _img(seed=4)
+    for f in [0.5, 1.5]:
+        pil = Image.fromarray(img)  # reference feeds BGR ndarray to PIL
+        want = np.array(ImageEnhance.Color(pil).enhance(f))
+        got = np.asarray(A._adjust_saturation(
+            jnp.asarray(img, jnp.float32)[None], jnp.asarray([f])))[0]
+        # PIL grayscale uses L = (299R + 587G + 114B)/1000 with its own
+        # rounding; allow 1 uint8 step of slack
+        assert np.abs(got - want.astype(np.float32)).max() <= 1.0
+
+
+def test_hflip_pairs_image_and_mask():
+    imgs = jnp.asarray(np.stack([_img(seed=i) for i in range(4)]))
+    msks = jnp.asarray(np.random.default_rng(9).integers(
+        0, 12, size=(4, 40, 56)).astype(np.uint8))
+    out_i, out_m = A.random_hflip(jax.random.PRNGKey(0), imgs, msks, p=1.0)
+    np.testing.assert_array_equal(np.asarray(out_i),
+                                  np.asarray(imgs)[:, :, ::-1, :])
+    np.testing.assert_array_equal(np.asarray(out_m),
+                                  np.asarray(msks)[:, :, ::-1])
+
+
+def test_normalize_matches_reference_formula():
+    img = _img(seed=5)
+    mean = (0.42, 0.41, 0.40)
+    std = (0.30, 0.31, 0.305)
+    got = np.asarray(A.to_tensor_normalize(jnp.asarray(img)[None], mean,
+                                           std))[0]
+    want = (img.astype(np.float32) / 255.0 - np.asarray(mean)) / np.asarray(
+        std)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_full_train_pipeline_jits_and_preserves_labels():
+    cfg = A.AugmentConfig(mean=(0.42, 0.41, 0.40), std=(0.3, 0.31, 0.305),
+                          rotation_fill=11, scale_fill=11)
+    fn = jax.jit(A.make_train_augment(cfg))
+    imgs = jnp.asarray(np.stack([_img(seed=i) for i in range(6)]))
+    msks = jnp.asarray(np.random.default_rng(8).integers(
+        0, 12, size=(6, 40, 56)).astype(np.uint8))
+    x, m = fn(jax.random.PRNGKey(0), imgs, msks)
+    assert x.shape == (6, 40, 56, 3) and x.dtype == jnp.float32
+    assert m.shape == (6, 40, 56) and m.dtype == jnp.int32
+    # reference recipe: rotation_p=15 never rotates -> masks only flip;
+    # the multiset of labels per row is preserved under hflip
+    assert set(np.unique(np.asarray(m))) <= set(range(12))
+    # different key -> different augmentation
+    x2, _ = fn(jax.random.PRNGKey(1), imgs, msks)
+    assert not np.allclose(np.asarray(x), np.asarray(x2))
+
+
+def test_reference_inverted_probability_semantics():
+    # RandomRotation p=15 -> never applies (SURVEY.md §2.5.1)
+    imgs = jnp.asarray(np.stack([_img(seed=i) for i in range(3)]),
+                       jnp.float32)
+    msks = jnp.zeros((3, 40, 56), jnp.uint8)
+    out_i, _ = A.random_rotation(jax.random.PRNGKey(0), imgs, msks, p=15.0,
+                                 angle=10.0, fill=11)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(imgs), atol=1e-4)
+
+
+def test_random_scale_crop_shapes_and_fill():
+    key = jax.random.PRNGKey(3)
+    imgs = jnp.asarray(np.stack([_img(seed=i) for i in range(4)]))
+    msks = jnp.asarray(np.random.default_rng(7).integers(
+        0, 11, size=(4, 40, 56)).astype(np.uint8))
+    out_i, out_m = A.random_scale_crop(key, imgs, msks, (0.5, 2.0), fill=11)
+    assert out_i.shape == (4, 40, 56, 3)
+    assert out_m.shape == (4, 40, 56)
+    vals = set(np.unique(np.asarray(out_m)))
+    assert vals <= set(range(12))  # only original classes + fill appear
