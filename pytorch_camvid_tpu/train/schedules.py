@@ -93,3 +93,20 @@ def exponential_sweep_lr(start_lr: float, end_lr: float,
 
 def constant_lr(lr: float) -> Schedule:
     return lambda step: jnp.full((), lr, jnp.float32)
+
+
+def warmup_then_multistep(base_lr: float, warm_iters: int,
+                          milestones: Sequence[int],
+                          steps_per_epoch: int,
+                          gamma: float = 0.1) -> Schedule:
+    """The legacy TPU trainer's composite recipe (legacy/train_tpu.py:86-97):
+    linear per-iteration warmup for ``warm_iters`` steps, then MultiStepLR
+    by epoch (epoch = step // steps_per_epoch)."""
+    warm = warmup_lr(base_lr, warm_iters)
+    ms = multistep_lr(base_lr, milestones, gamma)
+
+    def fn(step):
+        s = jnp.asarray(step, jnp.float32)
+        epoch = jnp.floor(s / steps_per_epoch)
+        return jnp.where(s <= warm_iters, warm(step), ms(epoch))
+    return fn

@@ -56,6 +56,9 @@ def make_train_step(apply_fn, optimizer, lr_schedule,
         images, labels = batch
         rng, key = jax.random.split(state.rng)
         if augment_fn is not None:
+            if axis_name is not None:
+                # decorrelate per-shard augmentation draws under shard_map
+                key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
             images, labels = augment_fn(key, images, labels)
         labels = labels.astype(jnp.int32)
 
