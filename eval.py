@@ -32,6 +32,8 @@ if __name__ == "__main__":
                         help="network name")
     parser.add_argument("-data", type=str, default=settings.DATA_PATH,
                         help="dataset root folder")
+    parser.add_argument("-pallas", action="store_true", default=False,
+                        help="use the fused Pallas serving kernels")
     args = parser.parse_args()
 
     valid_dataset = CamVid(args.data, image_set="val",
@@ -43,6 +45,10 @@ if __name__ == "__main__":
     template = TrainState.create(variables, opt)
     state, meta = load_checkpoint(args.weight, template)
 
+    if args.pallas:
+        base_apply = apply_fn
+        apply_fn = (lambda v, x, **kw:
+                    base_apply(v, x, **{**kw, "use_pallas": True}))
     eval_fn = jax.jit(make_eval_step(
         apply_fn, valid_dataset.class_num,
         ignore_index=valid_dataset.ignore_index, loss_ignore_index=255))

@@ -59,32 +59,45 @@ def init_segnet(key: jax.Array, input_channels: int = 3, class_num: int = 12):
 
 def apply_segnet(variables, x: jax.Array, *, train: bool = False,
                  axis_name: Optional[str] = None,
-                 compute_dtype=jnp.float32):
-    """Forward pass. x: (N, H, W, C) float. Returns (logits NHWC, new_state)."""
+                 compute_dtype=jnp.float32, use_pallas: bool = False):
+    """Forward pass. x: (N, H, W, C) float. Returns (logits NHWC, new_state).
+
+    use_pallas=True (eval only) uses the fused conv and pool/unpool Pallas
+    kernels (ops/pallas_conv.py, ops/pallas_pool.py)."""
     params, state = variables["params"], variables["state"]
     ns = {}
+    pallas = use_pallas and not train
 
     def stage(n, v):
         new_states = []
         for p, s in zip(params[n], state[n]):
             v, s2 = conv_bn_relu_apply(p, s, v, train=train,
                                        axis_name=axis_name,
-                                       compute_dtype=compute_dtype)
+                                       compute_dtype=compute_dtype,
+                                       use_pallas=use_pallas)
             new_states.append(s2)
         ns[n] = new_states
         return v
+
+    if pallas:
+        from pytorch_camvid_tpu.ops.pallas_pool import (
+            max_pool_2x2_argmax_pallas, max_unpool_2x2_pallas)
+        pool_fn, unpool_fn = (max_pool_2x2_argmax_pallas,
+                              max_unpool_2x2_pallas)
+    else:
+        pool_fn, unpool_fn = max_pool_2x2_with_argmax, max_unpool_2x2
 
     x = x.astype(compute_dtype)
     skips = []  # (indices, pre-pool (H, W)) per encoder stage
     for i in range(1, 6):
         x = stage(f"encoder{i}", x)
         hw = (x.shape[1], x.shape[2])
-        x, idx = max_pool_2x2_with_argmax(x)
+        x, idx = pool_fn(x)
         skips.append((idx, hw))
 
     for i in range(5, 0, -1):
         idx, hw = skips[i - 1]
-        x = max_unpool_2x2(x, idx, hw)
+        x = unpool_fn(x, idx, hw)
         x = stage(f"decoder{i}", x)
 
     return x.astype(jnp.float32), ns

@@ -63,11 +63,13 @@ def init_unet(key: jax.Array, input_channels: int = 3, class_num: int = 12):
     return {"params": params, "state": state}
 
 
-def _stage(params, state, x, name, *, train, axis_name, compute_dtype):
+def _stage(params, state, x, name, *, train, axis_name, compute_dtype,
+           use_pallas=False):
     new_states = []
     for p, s in zip(params[name], state[name]):
         x, ns = conv_bn_relu_apply(p, s, x, train=train, axis_name=axis_name,
-                                   compute_dtype=compute_dtype)
+                                   compute_dtype=compute_dtype,
+                                   use_pallas=use_pallas)
         new_states.append(ns)
     return x, new_states
 
@@ -82,14 +84,18 @@ def _pad_to_match(x: jax.Array, skip: jax.Array) -> jax.Array:
 
 def apply_unet(variables, x: jax.Array, *, train: bool = False,
                axis_name: Optional[str] = None,
-               compute_dtype=jnp.float32):
-    """Forward pass. x: (N, H, W, C) float. Returns (logits NHWC, new_state)."""
+               compute_dtype=jnp.float32, use_pallas: bool = False):
+    """Forward pass. x: (N, H, W, C) float. Returns (logits NHWC, new_state).
+
+    use_pallas=True (eval only) runs every conv block through the fused
+    Pallas kernel (ops/pallas_conv.py)."""
     params, state = variables["params"], variables["state"]
     ns = {}
 
     def stage(n, v):
         y, ns[n] = _stage(params, state, v, n, train=train,
-                          axis_name=axis_name, compute_dtype=compute_dtype)
+                          axis_name=axis_name, compute_dtype=compute_dtype,
+                          use_pallas=use_pallas)
         return y
 
     x = x.astype(compute_dtype)

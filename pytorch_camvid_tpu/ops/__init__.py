@@ -13,3 +13,7 @@ from pytorch_camvid_tpu.ops.loss import cross_entropy_loss  # noqa: F401
 from pytorch_camvid_tpu.ops.metrics import (  # noqa: F401
     confusion_matrix, intersect_and_union_areas, iou_from_confusion,
     accuracy_from_confusion, precision_recall_from_confusion)
+from pytorch_camvid_tpu.ops.pallas_conv import (  # noqa: F401
+    conv3x3_bn_relu_pallas, conv_bn_relu_apply_pallas)
+from pytorch_camvid_tpu.ops.pallas_pool import (  # noqa: F401
+    max_pool_2x2_argmax_pallas, max_unpool_2x2_pallas)

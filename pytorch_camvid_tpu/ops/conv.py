@@ -69,14 +69,25 @@ def conv_bn_relu_init(key: jax.Array, cin: int, cout: int, ksize: int = 3):
 
 def conv_bn_relu_apply(params, state, x: jax.Array, *, train: bool,
                        axis_name: Optional[str] = None,
-                       compute_dtype=jnp.float32):
+                       compute_dtype=jnp.float32,
+                       use_pallas: bool = False):
     """Apply conv3x3(pad1) + BN + ReLU.
 
     In train mode BN uses batch statistics (biased variance, matching torch's
     normalization; running_var is updated with the *unbiased* estimate, also
     matching torch) and returns updated running stats. In eval mode running
     stats are used and state is returned unchanged.
+
+    use_pallas=True routes eval mode through the single-pass fused Pallas
+    kernel (ops/pallas_conv.py); training always uses the XLA conv because
+    batch-norm statistics need a global reduction.
     """
+    if use_pallas and not train:
+        from pytorch_camvid_tpu.ops.pallas_conv import (
+            conv_bn_relu_apply_pallas)
+        return conv_bn_relu_apply_pallas(params, state,
+                                         x.astype(compute_dtype))
+
     y = conv2d(x.astype(compute_dtype), params["w"], params["b"])
     y = y.astype(jnp.float32)
 

@@ -1,0 +1,164 @@
+"""Pallas TPU kernel: fused conv3x3(pad 1) + affine + ReLU.
+
+The reference's hot block is Conv2d+BatchNorm2d+ReLU (models/unet.py:5-17,
+models/segnet.py:5-17). In inference/serving mode BatchNorm is a per-channel
+affine of the conv output, so the whole block folds into ONE kernel pass:
+
+    out = relu( conv3x3(x, W) * A + B ),   A = gamma / sqrt(var + eps)
+                                           B = (b - mean) * A + beta
+
+Design (one XLA conv emits the same math as 9 shifted matmuls; doing it in
+Pallas keeps the affine+ReLU epilogue in VMEM and avoids materializing the
+pre-activation in HBM):
+
+- input is zero-padded once by XLA to (N, H+2, W+2, Cin) and handed to the
+  kernel in ANY/HBM memory space;
+- grid = (N, H/TILE_H, Cout/TILE_CO); each program DMAs a (TILE_H+2)-row
+  halo slab into VMEM (skipping the copy when only the Cout tile changed),
+  then accumulates 9 (TILE_H*W, Cin) @ (Cin, TILE_CO) MXU matmuls — one per
+  tap — into an f32 accumulator, applies the affine + ReLU and writes the
+  bf16 tile;
+- weights are blocked over Cout so 1024x1024x3x3 layers fit VMEM.
+
+Training-mode BatchNorm needs global batch statistics of the conv output,
+which no single-pass tile kernel can produce; the training path therefore
+uses the XLA conv (ops/conv.py) and this kernel serves eval/predict/serving
+(enable with use_pallas=True on the model apply functions or
+PCT_PALLAS_CONV=1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_camvid_tpu.ops.conv import BN_EPS
+
+
+def _pick_tile_h(h: int, wp: int, cin: int,
+                 bytes_budget: int = 6 << 20) -> int:
+    """Largest TILE_H dividing h whose halo slab fits the VMEM budget."""
+    row_bytes = wp * cin * 2  # bf16
+    best = 1
+    for t in range(1, h + 1):
+        if h % t == 0 and (t + 2) * row_bytes <= bytes_budget:
+            best = t
+    return best
+
+
+def _pick_tile_co(cout: int, cin: int, bytes_budget: int = 4 << 20) -> int:
+    """Largest Cout tile (multiple of 128 when possible) fitting weights."""
+    for t in (512, 256, 128):
+        if cout % t == 0 and 9 * cin * t * 2 <= bytes_budget:
+            return t
+    return cout  # small layers (<=128 or odd sizes like 12)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _conv_kernel(x_hbm, w_ref, ab_ref, out_ref, xs, sem, *,
+                 tile_h: int, wq: int, cin: int):
+    """x_hbm holds the three width-shifts pre-stacked by XLA:
+    (3, N, H+2, wq, Cin) with wq 8-aligned — Mosaic only allows sublane
+    (width) slices at aligned offsets, and bf16 rotates are unsupported, so
+    the dx shift is materialized outside. Row (dy) slices are on untiled
+    dims and free. The 9 taps accumulate as (tile_h*wq, Cin) @ (Cin, Cout)
+    MXU matmuls in an f32 VMEM accumulator with the affine+ReLU epilogue
+    fused before the single bf16 store."""
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    co = pl.program_id(2)
+
+    @pl.when(co == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[:, n, pl.ds(i * tile_h, tile_h + 2)], xs, sem)
+        cp.start()
+        cp.wait()
+
+    tile_co = w_ref.shape[-1]
+    acc = jnp.zeros((tile_h * wq, tile_co), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = xs[dx, dy: dy + tile_h]       # untiled dims: free
+            patch = patch.reshape(tile_h * wq, cin)
+            acc += jnp.dot(patch, w_ref[dy, dx],
+                           preferred_element_type=jnp.float32)
+    a = ab_ref[0]  # (tile_co,)
+    b = ab_ref[1]
+    y = jnp.maximum(acc * a + b, 0.0)
+    out_ref[0] = y.reshape(tile_h, wq, tile_co).astype(out_ref.dtype)
+
+
+def fold_bn_affine(params, state) -> Tuple[jax.Array, jax.Array]:
+    """Fold conv bias + BN running stats into (A, B) per channel."""
+    inv = jax.lax.rsqrt(state["var"] + BN_EPS)
+    a = params["scale"] * inv
+    b = (params["b"] - state["mean"]) * a + params["bias"]
+    return a.astype(jnp.float32), b.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv3x3_bn_relu_pallas(x: jax.Array, w: jax.Array, a: jax.Array,
+                           b: jax.Array, interpret: bool = False):
+    """Fused conv3x3(pad1)+affine+ReLU. x: (N,H,W,Cin) bf16/f32;
+    w: (3,3,Cin,Cout); a,b: (Cout,) f32. Returns (N,H,W,Cout) in x.dtype."""
+    n, h, w_sp, cin = x.shape
+    cout = w.shape[-1]
+    dtype = x.dtype
+
+    wq = _round_up(w_sp, 8)          # 8-aligned compute width
+    # pad then pre-stack the three dx shifts: (3, N, H+2, wq, Cin)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wq + 1 - w_sp), (0, 0)))
+    xstk = jnp.stack([xp[:, :, d: d + wq, :] for d in range(3)])
+    tile_h = _pick_tile_h(h, 3 * wq, cin)
+    tile_co = _pick_tile_co(cout, cin)
+    grid = (n, h // tile_h, cout // tile_co)
+
+    ab = jnp.stack([a, b]).astype(jnp.float32)  # (2, Cout)
+
+    kernel = functools.partial(_conv_kernel, tile_h=tile_h, wq=wq, cin=cin)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # shift stack, manual DMA
+            pl.BlockSpec((3, 3, cin, tile_co),
+                         lambda n, i, co: (0, 0, 0, co),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile_co), lambda n, i, co: (0, co),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, wq, tile_co),
+            lambda n, i, co: (n, i, 0, co),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, wq, cout), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, tile_h + 2, wq, cin), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * n * h * wq * cin * cout,
+            bytes_accessed=(xstk.size + w.size) * 2 + n * h * wq * cout * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(xstk.astype(dtype), w.astype(dtype), ab)
+    return out[:, :, :w_sp, :]
+
+
+def conv_bn_relu_apply_pallas(params, state, x: jax.Array,
+                              interpret: bool = False):
+    """Drop-in eval-mode replacement for ops.conv.conv_bn_relu_apply
+    (train=False): same math, one fused kernel pass."""
+    a, b = fold_bn_affine(params, state)
+    y = conv3x3_bn_relu_pallas(x, params["w"].astype(x.dtype), a, b,
+                               interpret=interpret)
+    return y, state

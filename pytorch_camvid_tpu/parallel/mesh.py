@@ -36,8 +36,26 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_multislice_mesh(n_slice: int, n_data: Optional[int] = None,
+                         devices: Optional[Sequence] = None) -> Mesh:
+    """('slice', 'data', 'model') mesh for multi-slice (DCN) deployments
+    (SURVEY.md §2.3): gradients reduce hierarchically — psum over 'data'
+    rides ICI within a slice, psum over 'slice' crosses DCN. On multihost
+    pods call jax.distributed.initialize() first; here it is exercised with
+    virtual devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_slice
+    use = devices[: n_slice * n_data]
+    arr = np.array(use).reshape(n_slice, n_data, 1)
+    return Mesh(arr, ("slice", DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) dim sharded over the data axis."""
+    """Leading (batch) dim sharded over the data axis (and the slice axis
+    on multi-slice meshes)."""
+    if "slice" in mesh.axis_names:
+        return NamedSharding(mesh, P(("slice", DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

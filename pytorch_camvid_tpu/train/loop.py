@@ -61,6 +61,9 @@ class TrainConfig:
     loss_ignore_index: Optional[int] = None  # reference default: None
     quiet: bool = False
     save_epoch: int = 10
+    # stop with a clear error when the loss goes NaN/Inf (SURVEY.md §5.3:
+    # the reference's only fault detection is lr_finder's divergence stop)
+    nan_guard: bool = True
 
 
 def _dtype(name: str):
@@ -189,6 +192,11 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
         start = time.time()
         for batch_idx, batch in enumerate(train_loader.epoch(epoch - 1)):
             state, metrics = train_step(state, batch)
+            if cfg.nan_guard and not np.isfinite(float(metrics["loss"])):
+                raise FloatingPointError(
+                    f"loss diverged to {float(metrics['loss'])} at epoch "
+                    f"{epoch} step {batch_idx} — lower the lr or inspect "
+                    "the data (NaN guard; disable with nan_guard=False)")
             if not cfg.quiet:
                 print("Training Epoch:{epoch} [{seen}/{total}] "
                       "Lr:{lr:0.6f} Loss:{loss:0.4f} Beta1:{beta:0.4f}"
