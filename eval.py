@@ -43,7 +43,15 @@ if __name__ == "__main__":
     variables = init_fn(jax.random.PRNGKey(0))
     opt = adamw()
     template = TrainState.create(variables, opt)
-    state, meta = load_checkpoint(args.weight, template)
+    if args.weight.endswith(".pth"):
+        # reference torch checkpoint (train.py:234) via weight transfer
+        from pytorch_camvid_tpu.interop import load_torch_checkpoint
+        v = load_torch_checkpoint(args.weight, args.net, variables)
+        state = TrainState(params=v["params"], bn_state=v["state"],
+                           opt_state=template.opt_state,
+                           step=template.step, rng=template.rng)
+    else:
+        state, meta = load_checkpoint(args.weight, template)
 
     if args.pallas:
         base_apply = apply_fn

@@ -46,7 +46,15 @@ if __name__ == "__main__":
     init_fn, apply_fn = get_model(args.net, 3, args.c)
     variables = init_fn(jax.random.PRNGKey(0))
     template = TrainState.create(variables, adamw())
-    state, _ = load_checkpoint(args.weight, template)
+    if args.weight.endswith(".pth"):
+        # reference torch checkpoint (train.py:234) via weight transfer
+        from pytorch_camvid_tpu.interop import load_torch_checkpoint
+        v = load_torch_checkpoint(args.weight, args.net, variables)
+        state = TrainState(params=v["params"], bn_state=v["state"],
+                           opt_state=template.opt_state,
+                           step=template.step, rng=template.rng)
+    else:
+        state, _ = load_checkpoint(args.weight, template)
 
     normalize = make_eval_normalize(settings.MEAN, settings.STD)
     x = normalize(jnp.asarray(image)[None])

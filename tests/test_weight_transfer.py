@@ -1,0 +1,144 @@
+"""Full-model architecture parity: transfer weights between our pytrees and
+reference-named torch state_dicts, then assert forward equivalence.
+
+The torch models here are *test oracles* reconstructing the reference
+module structure programmatically from the same stage specs our models use
+(channel pairs in models/unet.py:40-91 / models/segnet.py:23-77), so
+state_dict keys match the reference exactly and a passing test certifies
+that a user's reference-trained .pth checkpoint produces the same logits in
+this framework."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from pytorch_camvid_tpu.interop import (
+    variables_from_state_dict, state_dict_from_variables)
+from pytorch_camvid_tpu.models import get_model
+from pytorch_camvid_tpu.models.unet import _unet_spec
+from pytorch_camvid_tpu.models.segnet import _segnet_spec
+
+
+class _BC(nn.Module):  # BasicConv2d-shaped: .conv = Sequential(conv,bn,relu)
+    def __init__(self, ci, co):
+        super().__init__()
+        self.conv = nn.Sequential(nn.Conv2d(ci, co, 3, padding=1),
+                                  nn.BatchNorm2d(co), nn.ReLU())
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class _Ups(nn.Module):  # UpSample2d-shaped: .conv = BasicConv2d
+    def __init__(self, ci, co):
+        super().__init__()
+        self.conv = _BC(ci, co)
+
+    def forward(self, x):
+        return self.conv(F.interpolate(x, scale_factor=2, mode="bilinear",
+                                       align_corners=True))
+
+
+def _pad_cat(x, skip):
+    dh = skip.size(2) - x.size(2)
+    dw = skip.size(3) - x.size(3)
+    x = F.pad(x, [dw // 2, dw - dw // 2, dh // 2, dh - dh // 2])
+    return torch.cat([x, skip], dim=1)
+
+
+class _UNetOracle(nn.Module):
+    def __init__(self, in_ch=3, nc=12):
+        super().__init__()
+        for stage, pairs in _unet_spec(in_ch, nc):
+            if stage.startswith("upsample"):
+                setattr(self, stage, _Ups(*pairs[0]))
+            elif stage == "output":
+                setattr(self, stage, _BC(*pairs[0]))
+            else:
+                setattr(self, stage,
+                        nn.Sequential(*[_BC(ci, co) for ci, co in pairs]))
+
+    def forward(self, x):
+        skips = []
+        for k in range(1, 6):
+            x = getattr(self, f"down{k}")(x)
+            if k < 5:
+                skips.append(x)
+                x = F.max_pool2d(x, 2)
+        for k, skip in zip(range(1, 5), reversed(skips)):
+            x = getattr(self, f"upsample{k}")(x)
+            x = _pad_cat(x, skip)
+            x = getattr(self, f"up{k}")(x)
+        return self.output(x)
+
+
+class _SBC(nn.Module):  # SegNet BasicConv-shaped: .conv/.bn attributes
+    def __init__(self, ci, co):
+        super().__init__()
+        self.conv = nn.Conv2d(ci, co, 3, padding=1)
+        self.bn = nn.BatchNorm2d(co)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class _SegNetOracle(nn.Module):
+    def __init__(self, in_ch=3, nc=12):
+        super().__init__()
+        for stage, pairs in _segnet_spec(in_ch, nc):
+            setattr(self, stage,
+                    nn.Sequential(*[_SBC(ci, co) for ci, co in pairs]))
+
+    def forward(self, x):
+        idxs, shapes = [], []
+        for k in range(1, 6):
+            x = getattr(self, f"encoder{k}")(x)
+            shapes.append(x.shape)
+            x, i = F.max_pool2d(x, 2, return_indices=True)
+            idxs.append(i)
+        for k in range(5, 0, -1):
+            x = F.max_unpool2d(x, idxs[k - 1], 2,
+                               output_size=shapes[k - 1])
+            x = getattr(self, f"decoder{k}")(x)
+        return x
+
+
+def _roundtrip_and_compare(net_name, oracle_cls, hw=(45, 60)):
+    init_fn, apply_fn = get_model(net_name, 3, 12)
+    variables = init_fn(jax.random.PRNGKey(0))
+    # give BN stats nontrivial values
+    variables["state"] = jax.tree.map(
+        lambda a: a + 0.1 * jnp.arange(a.shape[0], dtype=a.dtype)
+        / a.shape[0], variables["state"])
+
+    sd = state_dict_from_variables(net_name, variables)
+    oracle = oracle_cls()
+    oracle.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                            for k, v in sd.items()}, strict=True)
+    oracle.eval()
+
+    x = np.random.default_rng(1).normal(size=(1, hw[0], hw[1], 3)).astype(
+        np.float32)
+    got, _ = jax.jit(lambda v, x: apply_fn(v, x, train=False))(
+        variables, jnp.asarray(x))
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=1e-3)
+
+    # import roundtrip restores the exact pytree
+    v2 = variables_from_state_dict(net_name, sd, init_fn(
+        jax.random.PRNGKey(2)))
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unet_weight_transfer_forward_parity():
+    _roundtrip_and_compare("unet", _UNetOracle)
+
+
+def test_segnet_weight_transfer_forward_parity():
+    _roundtrip_and_compare("segnet", _SegNetOracle)
