@@ -43,11 +43,13 @@ def _pool_kernel(c00, c01, c10, c11, out_ref, idx_ref, *, w_in: int,
     mx = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
     # first-max tie-breaking in window scan order (0,0),(0,1),(1,0),(1,1).
     # Arithmetic form (no scalar-branch selects: Mosaic cannot relayout the
-    # i1 masks a where-chain with replicated scalar operands produces):
+    # i1 masks a where-chain with replicated scalar operands produces), and
+    # comparisons in f32 (bf16 compares are unsupported on some targets):
     # k = 0 if a>=mx else 1 if b>=mx else 2 if c>=mx else 3
-    ia = (a >= mx).astype(jnp.int32)
-    ib = (b >= mx).astype(jnp.int32)
-    ic = (c >= mx).astype(jnp.int32)
+    mx32 = mx.astype(jnp.float32)
+    ia = (a.astype(jnp.float32) >= mx32).astype(jnp.int32)
+    ib = (b.astype(jnp.float32) >= mx32).astype(jnp.int32)
+    ic = (c.astype(jnp.float32) >= mx32).astype(jnp.int32)
     k = (1 - ia) * (1 + (1 - ib) * (1 + (1 - ic)))
     dy, dx = k // 2, k % 2
     h2, w2, ch = a.shape
@@ -100,9 +102,12 @@ def _unpool_kernel(x_ref, idx_ref, o00, o01, o10, o11, *, w_out: int,
     yy = 2 * (pl.program_id(1) * tile_h2
               + jax.lax.broadcasted_iota(jnp.int32, xt.shape, 0))
     xx = 2 * jax.lax.broadcasted_iota(jnp.int32, xt.shape, 1)
-    # mask * value instead of select: avoids i1 relayout pitfalls
+    # mask * value instead of select (avoids i1 relayout pitfalls);
+    # multiply in f32 since i1->bf16 extension is target-dependent
+    xt32 = xt.astype(jnp.float32)
+
     def hit(flat):
-        return (it == flat).astype(xt.dtype) * xt
+        return ((it == flat).astype(jnp.float32) * xt32).astype(xt.dtype)
 
     o00[0] = hit(yy * w_out + xx)
     o01[0] = hit(yy * w_out + xx + 1)

@@ -1,0 +1,88 @@
+"""Serving: a compiled single-model predictor for production inference.
+
+The reference's inference surface is predict.py (one image, one process).
+This module packages the serving path properly:
+
+- fixed-shape batched jit forward (one compilation, reused),
+- fused Pallas serving kernels (ops/pallas_conv.py) on TPU by default,
+- bfloat16 compute with float32 logits,
+- automatic batching: any number of images pads up to the compiled batch,
+- normalization + resize handled on device with the training conventions.
+
+Example:
+    p = Predictor.from_checkpoint("unet", ckpt_path, batch_size=8)
+    masks = p.predict(images_uint8_bgr)   # (N, H, W) class indices
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pytorch_camvid_tpu.config import settings as default_settings
+from pytorch_camvid_tpu.data.augment import make_eval_normalize
+from pytorch_camvid_tpu.models import get_model
+from pytorch_camvid_tpu.ops.resize import resize_bilinear_cv2
+
+
+class Predictor:
+    def __init__(self, net: str, variables, batch_size: int = 8,
+                 image_hw: Tuple[int, int] = (360, 480),
+                 num_classes: int = 12, use_pallas: Optional[bool] = None,
+                 compute_dtype=jnp.bfloat16, settings=default_settings):
+        self._variables = variables
+        self._batch = batch_size
+        self._hw = image_hw
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        _, apply_fn = get_model(net, 3, num_classes)
+        normalize = make_eval_normalize(settings.MEAN, settings.STD,
+                                        compute_dtype)
+
+        def forward(variables, images_u8):
+            x = normalize(images_u8)
+            logits, _ = apply_fn(variables, x, train=False,
+                                 compute_dtype=compute_dtype,
+                                 use_pallas=use_pallas)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(cls, net: str, weight_path: str, **kw):
+        from pytorch_camvid_tpu.models import get_model as gm
+        init_fn, _ = gm(net, 3, kw.get("num_classes", 12))
+        variables = init_fn(jax.random.PRNGKey(0))
+        if weight_path.endswith(".pth"):
+            from pytorch_camvid_tpu.interop import load_torch_checkpoint
+            variables = load_torch_checkpoint(weight_path, net, variables)
+        else:
+            from pytorch_camvid_tpu.train import TrainState, adamw
+            from pytorch_camvid_tpu.train.checkpoint import load_checkpoint
+            template = TrainState.create(variables, adamw())
+            state, _ = load_checkpoint(weight_path, template)
+            variables = {"params": state.params, "state": state.bn_state}
+        return cls(net, variables, **kw)
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """images: (N, H, W, 3) uint8 BGR, any H/W (resized on device).
+        Returns (N, h, w) int32 class maps at the working size."""
+        n = images.shape[0]
+        h, w = self._hw
+        if images.shape[1:3] != (h, w):
+            x = jnp.asarray(images, jnp.float32)
+            x = resize_bilinear_cv2(x, (h, w))
+            images = np.asarray(jnp.round(jnp.clip(x, 0, 255)), np.uint8)
+        out = []
+        for lo in range(0, n, self._batch):
+            chunk = images[lo: lo + self._batch]
+            pad = self._batch - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)])
+            preds = self._forward(self._variables, jnp.asarray(chunk))
+            out.append(np.asarray(preds)[: len(images[lo: lo + self._batch])])
+        return np.concatenate(out) if out else np.zeros((0, h, w), np.int32)
