@@ -82,7 +82,11 @@ if __name__ == "__main__":
                         help="initial learning rate")
     parser.add_argument("-end_lr", type=float, default=10,
                         help="final learning rate")
-    parser.add_argument("-stop_div", type=bool, default=True,
+    # the reference declares this type=bool (any string is truthy,
+    # SURVEY.md §2.5.10); parse real booleans instead
+    parser.add_argument("-stop_div", default=True,
+                        type=lambda s: s.lower() not in
+                        ("false", "0", "no"),
                         help="stops when loss diverges")
     parser.add_argument("-num_it", type=int, default=100,
                         help="number of iterations")

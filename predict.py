@@ -19,12 +19,7 @@ from pytorch_camvid_tpu.data.augment import make_eval_normalize
 from pytorch_camvid_tpu.models import get_model
 from pytorch_camvid_tpu.train import TrainState, adamw
 from pytorch_camvid_tpu.train.checkpoint import load_checkpoint
-
-# BGR palette for the 12 CamVid classes (visualization aid, not in reference)
-PALETTE = np.array([
-    [255, 206, 128], [0, 0, 128], [192, 192, 192], [64, 64, 128],
-    [64, 64, 0], [0, 128, 128], [128, 128, 192], [128, 64, 64],
-    [128, 0, 64], [0, 64, 64], [192, 128, 0], [0, 0, 0]], np.uint8)
+from pytorch_camvid_tpu.utils.viz import colorize_mask
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
@@ -67,7 +62,6 @@ if __name__ == "__main__":
                        interpolation=cv2.INTER_NEAREST)
     cv2.imwrite("src.jpg", src)
     cv2.imwrite("predict.jpg", preds)
-    cv2.imwrite("predict_color.png",
-                PALETTE[np.clip(preds, 0, len(PALETTE) - 1)])
+    cv2.imwrite("predict_color.png", colorize_mask(preds, args.c))
     print(f"wrote src.jpg, predict.jpg, predict_color.png "
           f"(classes present: {sorted(np.unique(preds).tolist())})")

@@ -1,0 +1,115 @@
+"""Input pipeline: the whole dataset lives in device HBM as uint8.
+
+Reference: torch DataLoader with 4 worker processes decoding + augmenting
+per sample in Python/OpenCV (train.py:80-84) — SURVEY.md §3.1 hot loop #1
+and the measured bottleneck (benchmark.py).
+
+TPU-native redesign: CamVid at 360x480 is ~250 MB uint8 (images + masks).
+It is transferred to the device ONCE; each step gathers a batch by indices
+on device and the (jit-fused) augmentation produces normalized tensors.
+Host work per step is: advancing an index permutation. There are no worker
+processes, no per-sample Python, no per-step H2D transfer.
+
+For datasets that exceed HBM (e.g. VOC2012 at full size), ``HostLoader``
+streams batches with double buffering (device_put of batch t+1 overlaps the
+step on batch t).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class DeviceDataLoader:
+    """Batches gathered on device from HBM-resident arrays.
+
+    Yields (images_u8 (B,H,W,3), labels_u8 (B,H,W)) device arrays. With
+    drop_last=False the trailing partial batch is emitted at its natural
+    (smaller) static shape, costing one extra compilation, like the
+    reference DataLoader's final batch (train.py:80-84 uses the default
+    drop_last=False).
+    """
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray,
+                 batch_size: int, shuffle: bool = False, seed: int = 0,
+                 drop_last: bool = False, sharding=None):
+        if sharding is not None:
+            self.images = jax.device_put(jnp.asarray(images), sharding)
+            self.labels = jax.device_put(jnp.asarray(labels), sharding)
+        else:
+            self.images = jnp.asarray(images)
+            self.labels = jnp.asarray(labels)
+        self.n = images.shape[0]
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[Tuple]:
+        e = self._epoch if epoch is None else epoch
+        self._epoch = e + 1
+        if self.shuffle:
+            perm = np.random.default_rng(self.seed + e).permutation(self.n)
+        else:
+            perm = np.arange(self.n)
+        b = self.batch_size
+        stop = self.n - self.n % b if self.drop_last else self.n
+        for i in range(0, stop, b):
+            idx = jnp.asarray(perm[i: i + b])
+            yield (jnp.take(self.images, idx, axis=0),
+                   jnp.take(self.labels, idx, axis=0))
+
+    def __iter__(self):
+        return self.epoch()
+
+
+class HostLoader:
+    """Fallback for > HBM datasets: host arrays, double-buffered H2D."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray,
+                 batch_size: int, shuffle: bool = False, seed: int = 0,
+                 sharding=None):
+        self.images, self.labels = images, labels
+        self.n = images.shape[0]
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.sharding = sharding
+        self._epoch = 0
+
+    def __len__(self):
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch: Optional[int] = None):
+        e = self._epoch if epoch is None else epoch
+        self._epoch = e + 1
+        perm = (np.random.default_rng(self.seed + e).permutation(self.n)
+                if self.shuffle else np.arange(self.n))
+
+        def put(lo):
+            idx = perm[lo: lo + self.batch_size]
+            im, lb = self.images[idx], self.labels[idx]
+            if self.sharding is not None:
+                return (jax.device_put(im, self.sharding),
+                        jax.device_put(lb, self.sharding))
+            return jnp.asarray(im), jnp.asarray(lb)
+
+        nxt = put(0) if self.n else None
+        for lo in range(0, self.n, self.batch_size):
+            cur = nxt
+            nxt_lo = lo + self.batch_size
+            nxt = put(nxt_lo) if nxt_lo < self.n else None  # overlap H2D
+            yield cur
+
+    def __iter__(self):
+        return self.epoch()

@@ -92,6 +92,8 @@ def evaluate(state, eval_fn, loader: DeviceDataLoader, normalize,
     confusion matrix and (ignore-aware) loss both drop.
     """
     total_loss = 0.0
+    # accumulate on host in float64: per-cell counts can exceed float32's
+    # 2^24 integer range on large splits (e.g. VOC: ~271M pixels)
     cm_total = None
     for images, labels in loader.epoch(0):
         images, labels = _pad_batch(images, labels.astype(jnp.int32),
@@ -99,8 +101,9 @@ def evaluate(state, eval_fn, loader: DeviceDataLoader, normalize,
         x = normalize(images)
         loss, cm = eval_fn(state, (x, labels))
         total_loss += float(loss)
+        cm = np.asarray(cm, np.float64)
         cm_total = cm if cm_total is None else cm_total + cm
-    return total_loss, np.asarray(cm_total)
+    return total_loss, cm_total
 
 
 def print_epoch_metrics(cm: np.ndarray, class_names: Sequence[str],
@@ -151,6 +154,11 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                                   cfg.batch_size, sharding=bsh)
 
     steps_per_epoch = len(train_loader)
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"batch size {cfg.batch_size} exceeds the train split "
+            f"({train_ds.images.shape[0]} images) — no full batch to train "
+            "on (training drops the last partial batch)")
     total_steps = steps_per_epoch * cfg.epochs
 
     aug_cfg = AugmentConfig(mean=settings.MEAN, std=settings.STD,
@@ -180,8 +188,28 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
         weight_path = get_weight_path(os.path.dirname(cfg.checkpoint_dir))
         if weight_path:
             print(f"Loading weight file: {weight_path}...")
-            state, meta = load_checkpoint(weight_path, state, sharding=rep)
-            trained_epochs = meta.get("epoch", parse_epoch(weight_path))
+            if weight_path.endswith(".pth"):
+                # reference torch checkpoint: params/BN only (the reference
+                # never saves optimizer state, train.py:234)
+                from pytorch_camvid_tpu.interop import load_torch_checkpoint
+                v = load_torch_checkpoint(weight_path, cfg.net,
+                                          state.variables())
+                trained_epochs = parse_epoch(weight_path)
+                # fast-forward the schedule like train.py:114 (.pth has no
+                # step counter; our .npz checkpoints restore it exactly)
+                state = TrainState(params=v["params"],
+                                   bn_state=v["state"],
+                                   opt_state=state.opt_state,
+                                   step=jnp.asarray(
+                                       trained_epochs * steps_per_epoch,
+                                       jnp.int32),
+                                   rng=state.rng)
+                state = jax.device_put(state, rep)
+            else:
+                state, meta = load_checkpoint(weight_path, state,
+                                              sharding=rep)
+                trained_epochs = meta.get("epoch",
+                                          parse_epoch(weight_path))
             print("Done loading!")
 
     best_iou = 0.0  # NOT reset per epoch (fixes SURVEY.md §2.5.4)
@@ -192,7 +220,10 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
         start = time.time()
         for batch_idx, batch in enumerate(train_loader.epoch(epoch - 1)):
             state, metrics = train_step(state, batch)
-            if cfg.nan_guard and not np.isfinite(float(metrics["loss"])):
+            # in quiet mode only sync the loss every 16 steps so the guard
+            # does not serialize dispatch against the device
+            if cfg.nan_guard and (not cfg.quiet or batch_idx % 16 == 0) \
+                    and not np.isfinite(float(metrics["loss"])):
                 raise FloatingPointError(
                     f"loss diverged to {float(metrics['loss'])} at epoch "
                     f"{epoch} step {batch_idx} — lower the lr or inspect "

@@ -34,9 +34,13 @@ def head_block(params_or_grads):
 
 
 def _last_layer_grad_norms(grads):
+    """The reference keeps the LAST 'weight'/'bias' in named_parameters
+    order (utils.py:15-31); within a conv+BN block the BatchNorm gamma/beta
+    come after the conv kernel, so the logged tensors are the head block's
+    BN parameters — matched here."""
     blk = head_block(grads)
-    return {"grad_norm_w": jnp.linalg.norm(blk["w"].reshape(-1)),
-            "grad_norm_b": jnp.linalg.norm(blk["b"].reshape(-1))}
+    return {"grad_norm_w": jnp.linalg.norm(blk["scale"].reshape(-1)),
+            "grad_norm_b": jnp.linalg.norm(blk["bias"].reshape(-1))}
 
 
 def make_train_step(apply_fn, optimizer, lr_schedule,

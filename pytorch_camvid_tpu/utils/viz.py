@@ -21,7 +21,7 @@ _PALETTE = np.array([
 def colorize_mask(mask: np.ndarray, num_classes: int = 12) -> np.ndarray:
     """(H, W) class indices -> (H, W, 3) BGR color image."""
     pal = _PALETTE[:num_classes]
-    safe = np.clip(mask, 0, num_classes - 1)
+    safe = np.clip(mask, 0, len(pal) - 1)  # palette has 21 entries max
     out = pal[safe]
     out[mask >= num_classes] = 0  # ignore/sentinel labels -> black
     return out
