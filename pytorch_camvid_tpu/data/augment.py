@@ -71,6 +71,27 @@ def _affine_sample_bilinear(img: jax.Array, inv: jax.Array) -> jax.Array:
             + (v10 * (1 - fx) + v11 * fx) * fy)
 
 
+def _affine_sample_bilinear_clamp(img: jax.Array, inv: jax.Array
+                                  ) -> jax.Array:
+    """Like _affine_sample_bilinear but with edge-clamped taps —
+    cv2.resize's border behavior (vs warpAffine's constant-0)."""
+    h, w, c = img.shape
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2]
+    sy = inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2]
+    x0 = jnp.floor(sx); y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]; fy = (sy - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    v00 = img[y0i, x0i]; v01 = img[y0i, x1i]
+    v10 = img[y1i, x0i]; v11 = img[y1i, x1i]
+    return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+            + (v10 * (1 - fx) + v11 * fx) * fy)
+
+
 def _affine_sample_nearest(mask: jax.Array, inv: jax.Array,
                            fill: int) -> jax.Array:
     """Nearest-neighbor inverse-affine sample of one (H,W) int mask with
@@ -145,29 +166,43 @@ def random_scale_crop(key: jax.Array, images: jax.Array, masks: jax.Array,
     n, h, w, _ = images.shape
     ks, ko = jax.random.split(key)
     s = jax.random.uniform(ks, (n,), minval=scale[0], maxval=scale[1])
+    # crop offsets (for s > 1) as uniforms in [0, 1); scaled inside the core
+    u1, u2 = jax.random.split(ko)
+    uy = jax.random.uniform(u1, (n,))
+    ux = jax.random.uniform(u2, (n,))
+    return scale_pad_crop(images, masks, s, uy, ux, fill)
+
+
+def scale_pad_crop(images: jax.Array, masks: jax.Array, s: jax.Array,
+                   uy: jax.Array, ux: jax.Array, fill: int = 0):
+    """Deterministic core of RandomScale (transforms.py:85-127): per-sample
+    scale factor ``s`` and crop-offset fractions ``uy``/``ux`` in [0, 1)
+    (mapped to randint(0, pad) like the reference's random.randint)."""
+    n, h, w, _ = images.shape
     # scaled size (cv2 rounds: int(round(dim*s)))
     sh = jnp.round(h * s); sw = jnp.round(w * s)
     # pad amounts (centered) when smaller
     pad_top = jnp.maximum(0.0, jnp.floor((h - sh) / 2.0))
     pad_left = jnp.maximum(0.0, jnp.floor((w - sw) / 2.0))
     # crop offsets when larger: uniform int in [0, padded - orig]
-    u1, u2 = jax.random.split(ko)
     max_y = jnp.maximum(sh, h) - h
     max_x = jnp.maximum(sw, w) - w
-    off_y = jnp.floor(jax.random.uniform(u1, (n,)) * (max_y + 1))
-    off_x = jnp.floor(jax.random.uniform(u2, (n,)) * (max_x + 1))
+    off_y = jnp.floor(uy * (max_y + 1))
+    off_x = jnp.floor(ux * (max_x + 1))
 
-    # dst (x,y) -> src = (x + off_x - pad_left) * (w / sw)
+    # dst (x,y) -> src = (x + off_x - pad_left) / s
     def one(img, msk, si, oy, ox, pt, pl, shi, swi):
-        fx = w / swi  # cv2 resize inverse scale (half-pixel)
-        fy = h / shi
+        # cv2.resize called with fx=fy=s (transforms.py:90) uses 1/s as the
+        # coordinate scale — NOT w/round(w*s)
+        fx = 1.0 / si
+        fy = 1.0 / si
         # half-pixel bilinear: src = (dst + 0.5) * f - 0.5, dst in scaled img
-        inv = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
         inv = jnp.stack([
             jnp.stack([fx, 0.0, (ox - pl + 0.5) * fx - 0.5]),
             jnp.stack([0.0, fy, (oy - pt + 0.5) * fy - 0.5]),
         ])
-        im = _affine_sample_bilinear(img, inv)
+        # cv2.resize clamps edge taps (unlike warpAffine's zero border)
+        im = _affine_sample_bilinear_clamp(img, inv)
         # nearest for mask: cv2 INTER_NEAREST uses floor(dst * f)
         inv_n = jnp.stack([
             jnp.stack([fx, 0.0, (ox - pl) * fx]),
@@ -176,8 +211,13 @@ def random_scale_crop(key: jax.Array, images: jax.Array, masks: jax.Array,
         h_, w_ = msk.shape
         yy = jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 0)
         xx = jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 1)
-        sx = jnp.floor(inv_n[0, 0] * xx + inv_n[0, 2]).astype(jnp.int32)
-        sy = jnp.floor(inv_n[1, 1] * yy + inv_n[1, 2]).astype(jnp.int32)
+        # +eps: when x/s is an exact integer, float64 (cv2) lands just above
+        # it while float32 can land just below and floor one pixel off
+        eps = 1e-4
+        sx = jnp.floor(inv_n[0, 0] * xx + inv_n[0, 2] + eps).astype(
+            jnp.int32)
+        sy = jnp.floor(inv_n[1, 1] * yy + inv_n[1, 2] + eps).astype(
+            jnp.int32)
         inb = (sy >= 0) & (sy < h_) & (sx >= 0) & (sx < w_) & \
               (yy + oy - pt >= 0) & (yy + oy - pt < shi) & \
               (xx + ox - pl >= 0) & (xx + ox - pl < swi)

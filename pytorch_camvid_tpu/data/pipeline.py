@@ -38,12 +38,24 @@ class DeviceDataLoader:
                  batch_size: int, shuffle: bool = False, seed: int = 0,
                  drop_last: bool = False, sharding=None):
         if sharding is not None:
+            # sample-axis sharding needs n % n_devices == 0; pad with rows
+            # that the index permutation never touches
+            pad = (-images.shape[0]) % sharding.mesh.size
+            if pad:
+                images = np.concatenate(
+                    [images, np.zeros((pad,) + images.shape[1:],
+                                      images.dtype)])
+                labels = np.concatenate(
+                    [labels, np.zeros((pad,) + labels.shape[1:],
+                                      labels.dtype)])
             self.images = jax.device_put(jnp.asarray(images), sharding)
             self.labels = jax.device_put(jnp.asarray(labels), sharding)
+            self.n = images.shape[0] - pad
         else:
             self.images = jnp.asarray(images)
             self.labels = jnp.asarray(labels)
-        self.n = images.shape[0]
+            self.n = images.shape[0]
+        self._sharding = sharding
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
@@ -66,8 +78,16 @@ class DeviceDataLoader:
         stop = self.n - self.n % b if self.drop_last else self.n
         for i in range(0, stop, b):
             idx = jnp.asarray(perm[i: i + b])
-            yield (jnp.take(self.images, idx, axis=0),
-                   jnp.take(self.labels, idx, axis=0))
+            im = jnp.take(self.images, idx, axis=0)
+            lb = jnp.take(self.labels, idx, axis=0)
+            if self._sharding is not None and \
+                    im.shape[0] % self._sharding.mesh.size == 0:
+                # gathers don't preserve the batch sharding; re-pin so the
+                # jit'ed step's in_shardings match (ragged final batches
+                # stay unpinned — the consumer pads then pins)
+                im = jax.device_put(im, self._sharding)
+                lb = jax.device_put(lb, self._sharding)
+            yield (im, lb)
 
     def __iter__(self):
         return self.epoch()

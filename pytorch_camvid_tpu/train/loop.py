@@ -85,21 +85,26 @@ def _pad_batch(images, labels, to_size: int, sentinel: int = 255):
 
 
 def evaluate(state, eval_fn, loader: DeviceDataLoader, normalize,
-             batch_size: int):
+             batch_size: int, sharding=None):
     """Run the eval loop; returns (avg_batch_loss_sum, confusion_matrix).
 
     Final ragged batches are padded with label-255 sentinels which the
-    confusion matrix and (ignore-aware) loss both drop.
+    confusion matrix and (ignore-aware) loss both drop; under data
+    parallelism the padded batch is pinned to ``sharding``.
     """
     total_loss = 0.0
     # accumulate on host in float64: per-cell counts can exceed float32's
     # 2^24 integer range on large splits (e.g. VOC: ~271M pixels)
     cm_total = None
     for images, labels in loader.epoch(0):
-        images, labels = _pad_batch(images, labels.astype(jnp.int32),
-                                    batch_size)
+        if images.shape[0] != batch_size:
+            images, labels = _pad_batch(images, labels.astype(jnp.int32),
+                                        batch_size)
+            if sharding is not None:
+                images = jax.device_put(images, sharding)
+                labels = jax.device_put(labels, sharding)
         x = normalize(images)
-        loss, cm = eval_fn(state, (x, labels))
+        loss, cm = eval_fn(state, (x, labels.astype(jnp.int32)))
         total_loss += float(loss)
         cm = np.asarray(cm, np.float64)
         cm_total = cm if cm_total is None else cm_total + cm
@@ -250,7 +255,7 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
 
         test_start = time.time()
         loss_sum, cm = evaluate(state, eval_step, val_loader, normalize,
-                                cfg.batch_size)
+                                cfg.batch_size, sharding=bsh)
         if not cfg.quiet:
             print(f"Evaluation time comsumed:{time.time() - test_start:.2f}s")
         miou, all_acc = print_epoch_metrics(cm, train_ds.class_names,

@@ -22,7 +22,7 @@ def _write_voc(root, n_train=3, n_val=2):
                 exist_ok=True)
     names = [f"2007_{i:06d}" for i in range(n_train + n_val)]
     for i, name in enumerate(names):
-        h, w = (120 + 17 * i, 160 - 11 * i)  # varying sizes
+        h, w = (120 + 17 * (i % 4), 160 - 11 * (i % 4))  # varying sizes
         img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         lab = rng.integers(0, 21, size=(h, w), dtype=np.uint8)
         cv2.imwrite(os.path.join(root, "JPEGImages", name + ".jpg"), img)
