@@ -28,8 +28,10 @@ import numpy as np
 P100_IMAGES_PER_SEC_EST = 3.6  # see module docstring
 
 
-def main(batch_size: int = 8, steps: int = 20, warmup: int = 3,
+def main(batch_size: int = 24, steps: int = 20, warmup: int = 3,
          hw=(360, 480)) -> dict:
+    from pytorch_camvid_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from pytorch_camvid_tpu.config import settings

@@ -20,6 +20,8 @@ from pytorch_camvid_tpu.data.augment import (
 from pytorch_camvid_tpu.data.synthetic import synthetic_arrays
 
 if __name__ == "__main__":
+    from pytorch_camvid_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-b", type=int, default=8, help="batch size")
     parser.add_argument("-data", type=str, default="data")

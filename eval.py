@@ -23,6 +23,8 @@ from pytorch_camvid_tpu.train.checkpoint import load_checkpoint
 from pytorch_camvid_tpu.train.loop import evaluate
 
 if __name__ == "__main__":
+    from pytorch_camvid_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-weight", type=str, required=True,
                         help="weight file path")

@@ -75,6 +75,8 @@ def plot(loss, lr, skip_start=10, skip_end=5, image_name="lr_finder.jpeg"):
 
 
 if __name__ == "__main__":
+    from pytorch_camvid_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-b", type=int, default=10,
                         help="batch size for dataloader")

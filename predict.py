@@ -22,6 +22,8 @@ from pytorch_camvid_tpu.train.checkpoint import load_checkpoint
 from pytorch_camvid_tpu.utils.viz import colorize_mask
 
 if __name__ == "__main__":
+    from pytorch_camvid_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-img", type=str, required=True,
                         help="image path to predict")

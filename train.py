@@ -15,6 +15,8 @@ from pytorch_camvid_tpu.train.loop import TrainConfig, run_training
 from pytorch_camvid_tpu.utils import SummaryLogger
 
 if __name__ == "__main__":
+    from pytorch_camvid_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-b", type=int, default=10,
                         help="batch size for dataloader")

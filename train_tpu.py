@@ -30,6 +30,8 @@ from pytorch_camvid_tpu.train.loop import (
 from pytorch_camvid_tpu.train.schedules import warmup_then_multistep
 
 if __name__ == "__main__":
+    from pytorch_camvid_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-b", type=int, default=5,
                         help="batch size for dataloader (per replica)")
