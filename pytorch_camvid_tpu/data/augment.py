@@ -273,7 +273,13 @@ def random_gaussian_blur(key: jax.Array, images: jax.Array,
                          masks: jax.Array, p: float = 0.5,
                          sigma: Tuple[float, float] = (0.0, 3.0)):
     """transforms.py:189-238. Image only; separable depthwise conv with
-    reflect-101 edges (cv2 BORDER_DEFAULT)."""
+    reflect-101 edges (cv2 BORDER_DEFAULT). The static tap window supports
+    ksize <= 9, i.e. sigma < 3 (the reference's range)."""
+    if int(max(3.3 * sigma[1], 3)) | 1 > _BLUR_TAPS + 1:
+        raise ValueError(
+            f"sigma up to {sigma[1]} needs ksize "
+            f"{int(max(3.3 * sigma[1], 3)) | 1} > the static "
+            f"{_BLUR_TAPS}-tap window; raise _BLUR_TAPS for wider blurs")
     n, h, w, c = images.shape
     k1, k2 = jax.random.split(key)
     apply = jax.random.uniform(k1, (n,)) < p
@@ -450,16 +456,17 @@ def make_train_augment(cfg: AugmentConfig, compute_dtype=jnp.float32):
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         x = images
         m = masks
-        if cfg.random_scale:
-            x, m = random_scale_crop(k5, x, m, cfg.scale_range,
-                                     cfg.scale_fill)
         # reference semantics skip rotation when u < p, so p >= 1 means the
         # warp NEVER fires (train.py:63 binds p=15, SURVEY.md §2.5.1) —
         # compile it away instead of warping by angle 0 (full-res gathers
-        # are expensive on TPU)
+        # are expensive on TPU). Order: Rotation precedes RandomScale in
+        # the only reference pipeline using both (lr_finder.py:144-153).
         if cfg.rotation_angle and cfg.rotation_p < 1.0:
             x, m = random_rotation(k1, x, m, cfg.rotation_p,
                                    cfg.rotation_angle, cfg.rotation_fill)
+        if cfg.random_scale:
+            x, m = random_scale_crop(k5, x, m, cfg.scale_range,
+                                     cfg.scale_fill)
         if cfg.blur_p > 0:
             x, m = random_gaussian_blur(k2, x, m, cfg.blur_p)
         if cfg.hflip_p > 0:

@@ -81,6 +81,37 @@ def group_label_ids(label: np.ndarray, codes: Sequence[str]) -> np.ndarray:
     return group_id_lut(codes)[label]
 
 
+def label_path_for(image_path: str) -> str:
+    """Image path -> label path: labels/ dir and '_P.' suffix
+    (dataset/camvid.py:113 rule, applied to the basename only so roots
+    containing '.' or 'images' are safe)."""
+    d, base = os.path.split(image_path)
+    parent, leaf = os.path.split(d)
+    assert leaf == "images", image_path
+    stem, ext = os.path.splitext(base)
+    return os.path.join(parent, "labels", stem + "_P" + ext)
+
+
+def list_split_files(camvid_dir: str, image_set: str):
+    """(sorted image paths of the split, codes list). Split rule
+    (dataset/camvid.py:119-128): train = images NOT in valid.txt."""
+    with open(os.path.join(camvid_dir, "codes.txt")) as f:
+        codes = [line.strip() for line in f.readlines()]
+    with open(os.path.join(camvid_dir, "valid.txt")) as f:
+        valids = set(line.strip() for line in f.readlines())
+    all_images = sorted(glob.glob(os.path.join(camvid_dir, "images",
+                                               "*.png")))
+    if image_set == "train":
+        files = [p for p in all_images
+                 if os.path.basename(p) not in valids]
+    else:
+        files = [p for p in all_images if os.path.basename(p) in valids]
+    if not files:
+        raise FileNotFoundError(
+            f"no CamVid images under {camvid_dir}/images")
+    return files, codes
+
+
 def _resize_pair(image: np.ndarray, label: np.ndarray,
                  size_wh: Tuple[int, int]):
     import cv2  # host-side decode/prep only; never on the training hot path
@@ -156,28 +187,13 @@ class CamVid:
 
     def _build_arrays(self):
         import cv2
-        d = self._camvid_dir()
-        with open(os.path.join(d, "codes.txt")) as f:
-            codes = [line.strip() for line in f.readlines()]
-        with open(os.path.join(d, "valid.txt")) as f:
-            valids = set(line.strip() for line in f.readlines())
-
-        image_fp = os.path.join(d, "images", "*.png")
-        all_images = sorted(glob.glob(image_fp))
-        if self._image_set == "train":
-            files = [p for p in all_images
-                     if os.path.basename(p) not in valids]
-        else:
-            files = [p for p in all_images if os.path.basename(p) in valids]
-        if not files:
-            raise FileNotFoundError(f"no CamVid images under {image_fp}")
-
+        files, codes = list_split_files(self._camvid_dir(),
+                                        self._image_set)
         lut = group_id_lut(codes)
         imgs, labs, names = [], [], []
         for p in files:
-            label_path = p.replace("images", "labels").replace(".", "_P.")
             img = cv2.imread(p)  # BGR, like the reference
-            lab = cv2.imread(label_path, 0)
+            lab = cv2.imread(label_path_for(p), 0)
             lab = lut[lab]
             if self._image_size is not None:
                 img, lab = _resize_pair(img, lab, self._image_size)

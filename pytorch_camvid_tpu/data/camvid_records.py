@@ -52,30 +52,25 @@ class CamVidRecords:
 
     def _build(self, path: str):
         import cv2
+        from pytorch_camvid_tpu.data.camvid import (
+            list_split_files, label_path_for)
         d = os.path.join(self._root, "camvid")
-        with open(os.path.join(d, "codes.txt")) as f:
-            codes = [line.strip() for line in f.readlines()]
-        with open(os.path.join(d, "valid.txt")) as f:
-            valids = set(line.strip() for line in f.readlines())
-        files = sorted(glob.glob(os.path.join(d, "images", "*.png")))
-        if self._image_set == "train":
-            files = [p for p in files if os.path.basename(p) not in valids]
-        else:
-            files = [p for p in files if os.path.basename(p) in valids]
-        if not files:
-            raise FileNotFoundError(f"no CamVid images under {d}")
+        files, codes = list_split_files(d, self._image_set)
         lut = group_id_lut(codes)
         records = []
         for p in files:
-            lp = p.replace("images", "labels").replace(".", "_P.")
             img = cv2.imread(p)
-            lab = lut[cv2.imread(lp, 0)]
+            lab = lut[cv2.imread(label_path_for(p), 0)]
             ok1, img_png = cv2.imencode(".png", img)
             ok2, lab_png = cv2.imencode(".png", lab)
             assert ok1 and ok2
             records.append(img_png.tobytes())
             records.append(lab_png.tobytes())
-        RecordStore.write(path, records)
+        # atomic: a crash mid-build must not leave a truncated cache that
+        # os.path.exists() would then trust forever
+        tmp = path + ".tmp"
+        RecordStore.write(tmp, records)
+        os.replace(tmp, path)
 
     def __len__(self):
         return len(self._store) // 2

@@ -21,19 +21,24 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libcamvid_native.so")
 
 _lib = None
+_build_failed = False
 
 
 def _load(build: bool = True):
-    global _lib
+    global _lib, _build_failed
     if _lib is not None:
         return _lib
+    if _build_failed:
+        return None
     if not os.path.exists(_LIB_PATH) and build:
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True)
         except Exception:
+            _build_failed = True  # don't fork a failing make per call
             return None
     if not os.path.exists(_LIB_PATH):
+        _build_failed = True
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.rs_write.restype = ctypes.c_int
@@ -113,6 +118,10 @@ class RecordStore:
         return self._n
 
     def __getitem__(self, i: int) -> bytes:
+        if i < 0:
+            i += self._n
+        if not 0 <= i < self._n:
+            raise IndexError(i)
         if self._h is not None:
             ln = int(self._lib.rs_length(self._h, i))
             out = np.empty(ln, np.uint8)

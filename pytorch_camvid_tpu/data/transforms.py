@@ -99,9 +99,15 @@ class RandomScale:
         self.value = value
 
     def __call__(self, img, mask):
-        im, mk = A.random_scale_crop(_Rng.key(), _b(img), _b(mask),
-                                     self.scale, self.value)
-        return _ub(im), _ub(mk)
+        im, mk = A.random_scale_crop(
+            _Rng.key(), _b(np.asarray(img, np.float32)), _b(mask),
+            self.scale, self.value)
+        im = _ub(im)
+        if np.asarray(img).dtype == np.uint8:
+            # cv2.resize on uint8 rounds back to uint8; keep the chain
+            # integer so downstream LUT transforms stay exact
+            im = np.round(im).clip(0, 255).astype(np.uint8)
+        return im, _ub(mk)
 
 
 class RandomRotation:

@@ -174,9 +174,17 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
 
     cw = (jnp.asarray(cfg.class_weights, jnp.float32)
           if cfg.class_weights is not None else None)
+    loss_ignore = cfg.loss_ignore_index
+    if loss_ignore is None and train_ds.ignore_index is not None \
+            and train_ds.ignore_index >= train_ds.class_num:
+        # out-of-range ignore labels (VOC's 255) MUST be excluded from the
+        # loss — take_along_axis would clamp them onto the last class and
+        # silently train padding/void pixels toward it. CamVid's in-range
+        # Void (11) stays trained like the reference (SURVEY.md §2.5.3).
+        loss_ignore = train_ds.ignore_index
     step = make_train_step(apply_fn, opt, onecycle_lr(cfg.lr, total_steps),
                            onecycle_beta1(total_steps), class_weights=cw,
-                           ignore_index=cfg.loss_ignore_index,
+                           ignore_index=loss_ignore,
                            augment_fn=augment, compute_dtype=dtype)
     train_step = jit_train_step(step, mesh)
     eval_step = jit_eval_step(
