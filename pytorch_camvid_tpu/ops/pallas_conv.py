@@ -23,8 +23,15 @@ pre-activation in HBM):
 Training-mode BatchNorm needs global batch statistics of the conv output,
 which no single-pass tile kernel can produce; the training path therefore
 uses the XLA conv (ops/conv.py) and this kernel serves eval/predict/serving
-(enable with use_pallas=True on the model apply functions or
-PCT_PALLAS_CONV=1).
+(enable with use_pallas=True on the model apply functions).
+
+Hardware validation status: every UNet/SegNet layer shape compiles and runs
+bit-accurately on the v5e target at speed parity with the XLA conv (see
+README). Caveat: compiling ALL ~23 kernels into ONE XLA program crashes
+this environment's remote Mosaic compile helper (subprocess exit 1 —
+a program-size limit of the tunneled toolchain, not a kernel defect);
+whole-model use_pallas=True jits are therefore not usable under the axon
+tunnel, while per-op/per-stage jits are.
 """
 
 from __future__ import annotations
@@ -113,6 +120,15 @@ def conv3x3_bn_relu_pallas(x: jax.Array, w: jax.Array, a: jax.Array,
     n, h, w_sp, cin = x.shape
     cout = w.shape[-1]
     dtype = x.dtype
+
+    if cin < 128:
+        # sub-128 lane input channels crash the Mosaic compiler on this
+        # target; zero-pad the contraction dim (extra MXU work on the two
+        # shallow layers only — they are <5% of model FLOPs)
+        pad_c = 128 - cin
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, pad_c), (0, 0)))
+        cin = 128
 
     wq = _round_up(w_sp, 8)          # 8-aligned compute width
     # pad then pre-stack the three dx shifts: (3, N, H+2, wq, Cin)

@@ -17,7 +17,7 @@ def test_predictor_batches_and_resizes():
         0, 256, size=(5, 37, 53, 3), dtype=np.uint8)
     masks = p.predict(imgs)
     assert masks.shape == (5, 48, 64)
-    assert masks.dtype == np.int32
+    assert masks.dtype == np.uint8
     assert masks.max() < 12
 
     # deterministic: same input -> same output
