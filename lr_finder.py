@@ -11,7 +11,6 @@ import argparse
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from pytorch_camvid_tpu.config import settings
 from pytorch_camvid_tpu.data import CamVid

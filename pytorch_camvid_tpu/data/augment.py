@@ -33,7 +33,7 @@ Semantics parity with transforms.py (quirks documented in SURVEY.md §2.5):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import numpy as np
 import jax

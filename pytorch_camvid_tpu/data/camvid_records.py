@@ -13,7 +13,6 @@ in RAM."""
 
 from __future__ import annotations
 
-import glob
 import os
 from typing import Optional, Tuple
 

@@ -17,7 +17,7 @@ APPLY when u < p.
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence, Tuple
+from typing import Iterable
 
 import numpy as np
 import jax

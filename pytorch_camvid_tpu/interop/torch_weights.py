@@ -22,7 +22,7 @@ Conv kernels transpose between torch OIHW and our HWIO.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from pytorch_camvid_tpu.parallel.mesh import (
     batch_sharding, replicated_sharding)

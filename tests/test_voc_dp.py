@@ -3,7 +3,6 @@ over the mesh — exercised end-to-end on the 8-virtual-device mesh with a
 synthetic VOC-shaped on-disk tree."""
 
 import numpy as np
-import jax.numpy as jnp
 
 from pytorch_camvid_tpu.data.voc2012 import VOC2012Aug
 from pytorch_camvid_tpu.train.loop import TrainConfig, run_training

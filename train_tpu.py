@@ -25,8 +25,7 @@ from pytorch_camvid_tpu.parallel.shard_map_dp import (
     shard_map_train_step, shard_map_eval_step)
 from pytorch_camvid_tpu.train import (
     TrainState, sgd, make_train_step, make_eval_step)
-from pytorch_camvid_tpu.train.loop import (
-    evaluate, print_epoch_metrics, _pad_batch)
+from pytorch_camvid_tpu.train.loop import evaluate, print_epoch_metrics
 from pytorch_camvid_tpu.train.schedules import warmup_then_multistep
 
 if __name__ == "__main__":
