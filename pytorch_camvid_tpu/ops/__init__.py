@@ -17,3 +17,5 @@ from pytorch_camvid_tpu.ops.pallas_conv import (  # noqa: F401
     conv3x3_bn_relu_pallas, conv_bn_relu_apply_pallas)
 from pytorch_camvid_tpu.ops.pallas_pool import (  # noqa: F401
     max_pool_2x2_argmax_pallas, max_unpool_2x2_pallas)
+from pytorch_camvid_tpu.ops.pallas_conv_train import (  # noqa: F401
+    conv3x3_pallas)

@@ -1,0 +1,81 @@
+"""Training-path Pallas conv (custom VJP) vs lax conv + autodiff
+(interpret mode on CPU; real-chip validation mirrors the serving kernels)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pytorch_camvid_tpu.ops import pallas_conv_train as pct
+
+
+def _lax_conv(x, w):
+    return lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _with_interpret(fn):
+    """Run fn with the pallas_calls in interpreter mode (CPU tests)."""
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pl.pallas_call = pct.pl.pallas_call = patched
+    try:
+        return fn()
+    finally:
+        pl.pallas_call = pct.pl.pallas_call = orig
+
+
+def test_forward_matches_lax():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 10, 12, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32))
+    got = _with_interpret(lambda: pct.conv3x3_pallas(x, w))
+    want = _lax_conv(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_custom_vjp_matches_autodiff():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 4, 8)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(2, 8, 10, 8)).astype(np.float32))
+
+    def loss_pallas(x, w):
+        return jnp.sum((pct.conv3x3_pallas(x, w) - t) ** 2)
+
+    def loss_lax(x, w):
+        return jnp.sum((_lax_conv(x, w) - t) ** 2)
+
+    (lp, (dxp, dwp)) = _with_interpret(
+        lambda: jax.value_and_grad(loss_pallas, argnums=(0, 1))(x, w))
+    ll, (dxl, dwl) = jax.value_and_grad(loss_lax, argnums=(0, 1))(x, w)
+
+    np.testing.assert_allclose(float(lp), float(ll), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxl),
+                               atol=1e-2, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwl),
+                               atol=1e-2, rtol=1e-3)
+
+
+def test_vjp_with_cout_tiling():
+    # cout 256 forces the dw kernel's co-tiled accumulation path
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 128, 256)).astype(np.float32))
+
+    def loss_pallas(w):
+        return jnp.sum(pct.conv3x3_pallas(x, w) ** 2)
+
+    def loss_lax(w):
+        return jnp.sum(_lax_conv(x, w) ** 2)
+
+    dwp = _with_interpret(lambda: jax.grad(loss_pallas)(w))
+    dwl = jax.grad(loss_lax)(w)
+    np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwl),
+                               rtol=2e-3, atol=2e-1)
