@@ -56,6 +56,10 @@ if __name__ == "__main__":
         state, meta = load_checkpoint(args.weight, template)
 
     if args.pallas:
+        print("note: -pallas compiles every conv block as a Mosaic kernel "
+              "in one program; some remote-compile environments (axon "
+              "tunnel) cannot handle whole-model kernel counts — see "
+              "ops/pallas_conv.py")
         base_apply = apply_fn
         apply_fn = (lambda v, x, **kw:
                     base_apply(v, x, **{**kw, "use_pallas": True}))

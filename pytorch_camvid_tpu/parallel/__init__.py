@@ -1,6 +1,10 @@
 """Parallelism: device meshes, shardings, data-parallel step builders."""
 
 from pytorch_camvid_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, batch_sharding, replicated_sharding)
+    make_mesh, make_multislice_mesh, batch_sharding, replicated_sharding)
 from pytorch_camvid_tpu.parallel.data_parallel import (  # noqa: F401
     jit_train_step, jit_eval_step, shard_batch)
+from pytorch_camvid_tpu.parallel.shard_map_dp import (  # noqa: F401
+    shard_map_train_step, shard_map_eval_step)
+from pytorch_camvid_tpu.parallel.spatial import (  # noqa: F401
+    conv3x3_halo, make_spatial_conv)
