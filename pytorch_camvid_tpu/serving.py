@@ -16,7 +16,7 @@ Example:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
@@ -31,13 +31,15 @@ from pytorch_camvid_tpu.ops.resize import resize_bilinear_cv2
 class Predictor:
     def __init__(self, net: str, variables, batch_size: int = 8,
                  image_hw: Tuple[int, int] = (360, 480),
-                 num_classes: int = 12, use_pallas: Optional[bool] = None,
+                 num_classes: int = 12, use_pallas: bool = False,
                  compute_dtype=jnp.bfloat16, settings=default_settings):
+        """use_pallas opts into the fused Mosaic kernels; it is measured at
+        speed parity with the XLA path and some remote-compile environments
+        cannot build whole-model kernel counts (ops/pallas_conv.py), so the
+        default is the XLA path."""
         self._variables = variables
         self._batch = batch_size
         self._hw = image_hw
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
         _, apply_fn = get_model(net, 3, num_classes)
         normalize = make_eval_normalize(settings.MEAN, settings.STD,
                                         compute_dtype)
