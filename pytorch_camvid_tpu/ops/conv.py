@@ -79,8 +79,10 @@ def conv_bn_relu_apply(params, state, x: jax.Array, *, train: bool,
     stats are used and state is returned unchanged.
 
     use_pallas=True routes eval mode through the single-pass fused Pallas
-    kernel (ops/pallas_conv.py); training always uses the XLA conv because
-    batch-norm statistics need a global reduction.
+    kernel (ops/pallas_conv.py). In train mode it swaps the conv itself for
+    the custom-VJP Pallas kernel family (ops/pallas_conv_train.py) — the
+    BN/ReLU tail stays outside because batch statistics need a global
+    reduction either way.
     """
     if use_pallas and not train:
         from pytorch_camvid_tpu.ops.pallas_conv import (
@@ -88,7 +90,13 @@ def conv_bn_relu_apply(params, state, x: jax.Array, *, train: bool,
         return conv_bn_relu_apply_pallas(params, state,
                                          x.astype(compute_dtype))
 
-    y = conv2d(x.astype(compute_dtype), params["w"], params["b"])
+    if use_pallas and train:
+        from pytorch_camvid_tpu.ops.pallas_conv_train import conv3x3_pallas
+        xc = x.astype(compute_dtype)
+        y = conv3x3_pallas(xc, params["w"].astype(xc.dtype))
+        y = y + params["b"].astype(y.dtype)
+    else:
+        y = conv2d(x.astype(compute_dtype), params["w"], params["b"])
     y = y.astype(jnp.float32)
 
     if train:

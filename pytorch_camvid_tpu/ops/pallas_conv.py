@@ -48,9 +48,9 @@ from pytorch_camvid_tpu.ops.conv import BN_EPS
 
 
 def _pick_tile_h(h: int, wp: int, cin: int,
-                 bytes_budget: int = 6 << 20) -> int:
+                 bytes_budget: int = 6 << 20, itemsize: int = 2) -> int:
     """Largest TILE_H dividing h whose halo slab fits the VMEM budget."""
-    row_bytes = wp * cin * 2  # bf16
+    row_bytes = wp * cin * itemsize
     best = 1
     for t in range(1, h + 1):
         if h % t == 0 and (t + 2) * row_bytes <= bytes_budget:
@@ -104,6 +104,15 @@ def _conv_kernel(x_hbm, w_ref, ab_ref, out_ref, xs, sem, *,
     out_ref[0] = y.reshape(tile_h, wq, tile_co).astype(out_ref.dtype)
 
 
+def shift_stack(x: jax.Array, wq: int) -> jax.Array:
+    """(3, N, H+2, wq, Cin) pre-stacked width shifts of the pad-1 input —
+    the layout both the serving and training conv kernels consume (Mosaic
+    requires 8-aligned sublane slices, so dx shifts are materialized)."""
+    n, h, w_sp, cin = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wq + 1 - w_sp), (0, 0)))
+    return jnp.stack([xp[:, :, d: d + wq, :] for d in range(3)])
+
+
 def fold_bn_affine(params, state) -> Tuple[jax.Array, jax.Array]:
     """Fold conv bias + BN running stats into (A, B) per channel."""
     inv = jax.lax.rsqrt(state["var"] + BN_EPS)
@@ -132,9 +141,8 @@ def conv3x3_bn_relu_pallas(x: jax.Array, w: jax.Array, a: jax.Array,
 
     wq = _round_up(w_sp, 8)          # 8-aligned compute width
     # pad then pre-stack the three dx shifts: (3, N, H+2, wq, Cin)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wq + 1 - w_sp), (0, 0)))
-    xstk = jnp.stack([xp[:, :, d: d + wq, :] for d in range(3)])
-    tile_h = _pick_tile_h(h, 3 * wq, cin)
+    xstk = shift_stack(x, wq)
+    tile_h = _pick_tile_h(h, 3 * wq, cin, itemsize=x.dtype.itemsize)
     tile_co = _pick_tile_co(cout, cin)
     grid = (n, h // tile_h, cout // tile_co)
 

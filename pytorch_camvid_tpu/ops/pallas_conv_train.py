@@ -22,9 +22,10 @@ replaces.
 
 Environment note: as with the serving kernel, every shape here compiles and
 runs on the target per-op, but this environment's remote Mosaic helper
-crashes when ~dozens of kernels land in one XLA program — so a full-model
-training jit built on these kernels is opt-in (``conv_impl='pallas'``) and
-validated per-op; the default training path uses the XLA conv.
+crashes when ~dozens of kernels land in one XLA program — so the training
+opt-in (``conv_bn_relu_apply(..., train=True, use_pallas=True)`` or the
+models' ``use_pallas`` flag) is validated per-op; the default training path
+uses the XLA conv, which is at measured speed parity.
 """
 
 from __future__ import annotations
@@ -37,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pytorch_camvid_tpu.ops.pallas_conv import (
-    _pick_tile_h, _pick_tile_co, _round_up)
+    _pick_tile_h, _pick_tile_co, _round_up, shift_stack as _shift_stack)
 
 
 def _fwd_kernel(x_hbm, w_ref, out_ref, xs, sem, *, tile_h, wq, cin):
@@ -63,13 +64,6 @@ def _fwd_kernel(x_hbm, w_ref, out_ref, xs, sem, *, tile_h, wq, cin):
     out_ref[0] = acc.reshape(tile_h, wq, tile_co).astype(out_ref.dtype)
 
 
-def _shift_stack(x: jax.Array, wq: int) -> jax.Array:
-    """(3, N, H+2, wq, Cin) pre-stacked width shifts of the padded input."""
-    n, h, w_sp, cin = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wq + 1 - w_sp), (0, 0)))
-    return jnp.stack([xp[:, :, d: d + wq, :] for d in range(3)])
-
-
 def _conv3x3_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
     n, h, w_sp, cin = x.shape
     cout = w.shape[-1]
@@ -82,7 +76,7 @@ def _conv3x3_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
 
     wq = _round_up(w_sp, 8)
     xstk = _shift_stack(x, wq)
-    tile_h = _pick_tile_h(h, 3 * wq, cin)
+    tile_h = _pick_tile_h(h, 3 * wq, cin, itemsize=x.dtype.itemsize)
     tile_co = _pick_tile_co(cout, cin)
     grid = (n, h // tile_h, cout // tile_co)
 
@@ -116,19 +110,18 @@ def _dw_kernel(x_hbm, g_ref, dw_ref, xs, sem, *, tile_h, wq, cin):
     """dW accumulation: for each tap, (Cin, tile) @ (tile, TILE_CO), summed
     across the (n, i) grid into the (3, 3, Cin, TILE_CO) output block.
 
-    Grid order (n, i, co) with co innermost: each co block is first visited
-    at n==0, i==0 (zero-init), then accumulated; the x slab DMA only runs
-    when co == 0 (the slab is co-invariant)."""
-    n = pl.program_id(0)
-    i = pl.program_id(1)
-    co = pl.program_id(2)
+    Grid order (co, n, i) with co OUTERMOST: Pallas TPU only supports
+    revisiting an accumulated output block on CONSECUTIVE grid steps, so
+    the reduction dims (n, i) must be innermost. Each co block zero-inits
+    at its first (n==0, i==0) visit, then accumulates; the x slab is
+    re-DMA'd per step (it changes with n/i anyway)."""
+    n = pl.program_id(1)
+    i = pl.program_id(2)
 
-    @pl.when(co == 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[:, n, pl.ds(i * tile_h, tile_h + 2)], xs, sem)
-        cp.start()
-        cp.wait()
+    cp = pltpu.make_async_copy(
+        x_hbm.at[:, n, pl.ds(i * tile_h, tile_h + 2)], xs, sem)
+    cp.start()
+    cp.wait()
 
     @pl.when(jnp.logical_and(n == 0, i == 0))
     def _():
@@ -155,9 +148,11 @@ def _conv3x3_dw(x: jax.Array, g: jax.Array) -> jax.Array:
     xstk = _shift_stack(x, wq)
     # zero-pad g's width-alignment columns so they contribute nothing
     gq = jnp.pad(g, ((0, 0), (0, 0), (0, wq - w_sp), (0, 0)))
-    tile_h = _pick_tile_h(h, 3 * wq, cin)
+    tile_h = _pick_tile_h(h, 3 * wq, cin, itemsize=x.dtype.itemsize)
     tile_co = _pick_tile_co(cout, cin)
-    grid = (n, h // tile_h, cout // tile_co)
+    # co outermost: accumulated output blocks must be revisited on
+    # consecutive grid steps (see _dw_kernel)
+    grid = (cout // tile_co, n, h // tile_h)
 
     kernel = functools.partial(_dw_kernel, tile_h=tile_h, wq=wq, cin=cin)
     dw = pl.pallas_call(
@@ -166,11 +161,11 @@ def _conv3x3_dw(x: jax.Array, g: jax.Array) -> jax.Array:
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, tile_h, wq, tile_co),
-                         lambda n, i, co: (n, i, 0, co),
+                         lambda co, n, i: (n, i, 0, co),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, 3, cin, tile_co),
-                               lambda n, i, co: (0, 0, 0, co),
+                               lambda co, n, i: (0, 0, 0, co),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, 3, cin, cout), jnp.float32),
         scratch_shapes=[

@@ -4,7 +4,7 @@ The reference's inference surface is predict.py (one image, one process).
 This module packages the serving path properly:
 
 - fixed-shape batched jit forward (one compilation, reused),
-- fused Pallas serving kernels (ops/pallas_conv.py) on TPU by default,
+- optional fused Pallas serving kernels (ops/pallas_conv.py, opt-in),
 - bfloat16 compute with float32 logits,
 - automatic batching: any number of images pads up to the compiled batch,
 - normalization + resize handled on device with the training conventions.

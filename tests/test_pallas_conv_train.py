@@ -63,11 +63,17 @@ def test_custom_vjp_matches_autodiff():
                                atol=1e-2, rtol=1e-3)
 
 
-def test_vjp_with_cout_tiling():
-    # cout 256 forces the dw kernel's co-tiled accumulation path
+def test_vjp_with_cout_tiling_and_grid_accumulation():
+    # cin=512/cout=1024 gives tile_co=256 (co grid dim 4) and n=2 with
+    # multiple row tiles — exercising the dw kernel's cross-grid
+    # accumulation with co OUTERMOST (revisited blocks must be consecutive)
+    from pytorch_camvid_tpu.ops.pallas_conv import _pick_tile_co
+    assert _pick_tile_co(1024, 512) < 1024  # the path is actually tiled
+
     rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.normal(size=(1, 8, 8, 128)).astype(np.float32))
-    w = jnp.asarray(rng.normal(size=(3, 3, 128, 256)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 512)).astype(np.float32) * .1)
+    w = jnp.asarray(rng.normal(size=(3, 3, 512, 1024)).astype(
+        np.float32) * .1)
 
     def loss_pallas(w):
         return jnp.sum(pct.conv3x3_pallas(x, w) ** 2)
@@ -78,4 +84,21 @@ def test_vjp_with_cout_tiling():
     dwp = _with_interpret(lambda: jax.grad(loss_pallas)(w))
     dwl = jax.grad(loss_lax)(w)
     np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwl),
-                               rtol=2e-3, atol=2e-1)
+                               rtol=2e-3, atol=2e-2)
+
+
+def test_train_mode_use_pallas_matches_xla_block():
+    from pytorch_camvid_tpu.ops.conv import (
+        conv_bn_relu_init, conv_bn_relu_apply)
+    params, state = conv_bn_relu_init(jax.random.PRNGKey(0), 8, 16)
+    x = jnp.asarray(np.random.default_rng(5).normal(
+        size=(2, 8, 10, 8)).astype(np.float32))
+
+    want, want_s = conv_bn_relu_apply(params, state, x, train=True)
+    got, got_s = _with_interpret(lambda: conv_bn_relu_apply(
+        params, state, x, train=True, use_pallas=True))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(got_s[k]),
+                                   np.asarray(want_s[k]), atol=1e-4)
