@@ -36,10 +36,16 @@ if __name__ == "__main__":
                         help="dataset root folder")
     parser.add_argument("-pallas", action="store_true", default=False,
                         help="use the fused Pallas serving kernels")
+    parser.add_argument("-image_size", type=int, nargs=2, default=None,
+                        metavar=("W", "H"),
+                        help="working size in cv2 (W, H) order; default "
+                        "settings.IMAGE_SIZE")
     args = parser.parse_args()
 
     valid_dataset = CamVid(args.data, image_set="val",
-                           image_size=settings.IMAGE_SIZE)
+                           image_size=(tuple(args.image_size)
+                                       if args.image_size
+                                       else settings.IMAGE_SIZE))
 
     init_fn, apply_fn = get_model(args.net, 3, valid_dataset.class_num)
     variables = init_fn(jax.random.PRNGKey(0))
@@ -70,7 +76,8 @@ if __name__ == "__main__":
                               args.b)
     normalize = make_eval_normalize(settings.MEAN, settings.STD)
 
-    loss_sum, cm = evaluate(state, eval_fn, loader, normalize, args.b)
+    loss_sum, cm, n_batches = evaluate(state, eval_fn, loader, normalize,
+                                       args.b)
     cmj = jnp.asarray(cm)
     iou = np.asarray(iou_from_confusion(cmj))
     precision, recall = (np.asarray(a) for a in
@@ -84,4 +91,5 @@ if __name__ == "__main__":
     print(f"miou: {np.nanmean(iou[keep]):.4f}")
     print(f"precision: {np.nanmean(precision[keep]):.4f}")
     print(f"recall: {np.nanmean(recall[keep]):.4f}")
-    print(f"loss: {loss_sum / len(valid_dataset.images):.4f}")
+    # per-batch normalization like the reference (eval.py:68)
+    print(f"loss: {loss_sum / max(n_batches, 1):.4f}")

@@ -1,11 +1,17 @@
 """LR range finder CLI (reference: lr_finder.py — fastai-style sweep).
 
 Runs up to -num_it batches with the geometric ExponentialLR sweep
-(lr_scheduler/ExponentialLR.py), exponential loss smoothing (beta=0.98,
-lr_finder.py:86-88), divergence stop when smoothed loss > 4x best
-(lr_finder.py:76-78), then saves a log-x loss-vs-lr curve to
-``lr_finder.jpeg``. The reference's closure-over-globals bug
-(lr_finder.py:46,54,63) is fixed by passing parameters explicitly."""
+(lr_scheduler/ExponentialLR.py). Default smoothing/stop semantics match the
+reference exactly: the first recorded loss is the raw loss, later losses are
+blended as smooth_f*loss + (1-smooth_f)*prev with smooth_f=0.05
+(lr_finder.py:86-88), and the sweep stops only when the raw loss goes NaN
+(lr_finder.py:76-78) — one difference is unavoidable: the reference checks
+NaN *before* applying the optimizer step while our jit-fused step has
+already applied it (harmless: the run ends there). ``smoothing='fastai'``
+opts into fastai's beta=0.98 bias-corrected smoothing with a
+'smoothed > 4x best' divergence stop. Saves a log-x loss-vs-lr curve.
+The reference's closure-over-globals bug (lr_finder.py:46,54,63) is fixed
+by passing parameters explicitly."""
 
 import argparse
 
@@ -23,8 +29,15 @@ from pytorch_camvid_tpu.train import (
 
 
 def lr_finder(loader, apply_fn, variables, *, start_lr, end_lr, num_it,
-              stop_div, weight_decay, augment_fn, smooth_f=0.05, beta=0.98):
-    """LR range test (lr_finder.py:17-96). Returns (losses, lrs)."""
+              stop_div, weight_decay, augment_fn, smooth_f=0.05, beta=0.98,
+              smoothing="reference"):
+    """LR range test (lr_finder.py:17-96). Returns (losses, lrs).
+
+    smoothing='reference' reproduces lr_finder.py:76-88: first loss raw,
+    then smooth_f-blend with the previous recorded loss; stop on NaN only
+    (stop_div then has no effect, like the reference where it is unused).
+    smoothing='fastai' uses bias-corrected EMA (beta) and stops when the
+    smoothed loss exceeds 4x the best seen (if stop_div)."""
     opt = adamw(weight_decay=weight_decay)
     lr_fn = exponential_sweep_lr(start_lr, end_lr, num_it)
     step_fn = jax.jit(make_train_step(apply_fn, opt, lr_fn,
@@ -41,19 +54,35 @@ def lr_finder(loader, apply_fn, variables, *, start_lr, end_lr, num_it,
                 break
             state, metrics = step_fn(state, batch)
             loss = float(metrics["loss"])
-            lrs.append(float(metrics["lr"]))
             it += 1
-            # exponential smoothing (lr_finder.py:86-88)
-            avg_loss = beta * avg_loss + (1 - beta) * loss
-            smoothed = avg_loss / (1 - beta ** it)
-            losses.append(smoothed)
-            best_loss = smoothed if best_loss is None else min(best_loss,
-                                                               smoothed)
-            print(f"iter {it}/{num_it} lr {lrs[-1]:.3e} "
-                  f"loss {smoothed:.4f}")
-            if stop_div and (smoothed > 4 * best_loss or np.isnan(smoothed)):
-                print("Stopping early, the loss has diverged")
-                return np.asarray(losses), np.asarray(lrs)
+            if smoothing == "reference":
+                if np.isnan(loss):
+                    # NaN divergence stop (lr_finder.py:76-78); the batch is
+                    # dropped from the curve like the reference's break
+                    print("Stopping early, the loss has diverged")
+                    return np.asarray(losses), np.asarray(lrs)
+                # the reference records the lr AFTER scheduler.step()
+                # (lr_finder.py:83-89), i.e. the NEXT iteration's lr
+                lrs.append(float(lr_fn(it)))
+                smoothed = (loss if it == 1
+                            else smooth_f * loss
+                            + (1 - smooth_f) * losses[-1])
+                losses.append(smoothed)
+                print("iteration: {}, lr: {:08f}, loss: {:04f}".format(
+                    it, lrs[-1], loss))
+            else:  # fastai
+                lrs.append(float(metrics["lr"]))
+                avg_loss = beta * avg_loss + (1 - beta) * loss
+                smoothed = avg_loss / (1 - beta ** it)
+                losses.append(smoothed)
+                best_loss = (smoothed if best_loss is None
+                             else min(best_loss, smoothed))
+                print(f"iter {it}/{num_it} lr {lrs[-1]:.3e} "
+                      f"loss {smoothed:.4f}")
+                if stop_div and (smoothed > 4 * best_loss
+                                 or np.isnan(smoothed)):
+                    print("Stopping early, the loss has diverged")
+                    return np.asarray(losses), np.asarray(lrs)
     return np.asarray(losses), np.asarray(lrs)
 
 
@@ -97,6 +126,10 @@ if __name__ == "__main__":
                         help="number of batches to trim from the end")
     parser.add_argument("-weight_decay", type=float, default=0,
                         help="weight decay factor")
+    parser.add_argument("-smoothing", type=str, default="reference",
+                        choices=["reference", "fastai"],
+                        help="loss smoothing/stop rule (reference = "
+                        "lr_finder.py:76-88 parity)")
     parser.add_argument("-net", type=str, required=True, help="network name")
     parser.add_argument("-data", type=str, default=settings.DATA_PATH)
     args = parser.parse_args()
@@ -121,5 +154,5 @@ if __name__ == "__main__":
                          start_lr=args.start_lr, end_lr=args.end_lr,
                          num_it=args.num_it, stop_div=args.stop_div,
                          weight_decay=args.weight_decay,
-                         augment_fn=augment)
+                         augment_fn=augment, smoothing=args.smoothing)
     plot(loss, lr, skip_start=args.skip_start, skip_end=args.skip_end)

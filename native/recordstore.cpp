@@ -87,7 +87,10 @@ void* rs_open(const char* path) {
     munmap(base, st.st_size); close(fd); delete s; return nullptr;
   }
   memcpy(&s->n, s->base + 8, 8);
-  if (16 + 16 * s->n > s->size) {
+  // divide instead of multiplying: 16*n wraps for a corrupt header with a
+  // huge n_records, which would pass the check and let index reads walk
+  // past the mapping
+  if (s->n > (s->size - 16) / 16) {
     munmap(base, st.st_size); close(fd); delete s; return nullptr;
   }
   s->index = reinterpret_cast<const IndexEntry*>(s->base + 16);

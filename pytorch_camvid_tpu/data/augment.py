@@ -381,35 +381,66 @@ def _adjust_hue(img_bgr: jax.Array, factor: jax.Array) -> jax.Array:
 def color_jitter(key: jax.Array, images: jax.Array, masks: jax.Array,
                  p: float = 0.5, brightness: float = 0.0,
                  contrast: float = 0.0, saturation: float = 0.0,
-                 hue: float = 0.0, reference_semantics: bool = True):
+                 hue: float = 0.0, reference_semantics: bool = True,
+                 random_order: bool = True):
     """transforms.py:364-483. Reference semantics: SKIP when u < p
     (transforms.py:470-471). Factor ranges follow _check_input: brightness/
-    contrast/saturation in [max(0,1-v), 1+v], hue in [-v, v]. Sub-transform
-    order is applied brightness->contrast->saturation->hue (the reference
-    shuffles the order per sample; the operations commute only approximately
-    — order fixing changes results by <1 uint8 step and is noted as a
-    deliberate simplification for static compilation).
+    contrast/saturation in [max(0,1-v), 1+v], hue in [-v, v].
+
+    Like the reference (transforms.py:430-460 random.shuffle of the active
+    sub-transforms per sample), the application ORDER is randomized per
+    sample when ``random_order=True``: every permutation of the active ops
+    is computed as a static branch and each sample selects one — shapes stay
+    static for XLA, and with k active ops the extra cost is k!-1 elementwise
+    passes (the reference recipe has only brightness active, so zero extra).
+    ``random_order=False`` applies brightness->contrast->saturation->hue.
     """
+    import itertools
     n = images.shape[0]
-    k0, kb, kc, ks, kh = jax.random.split(key, 5)
+    k0, kb, kc, ks, kh, kp = jax.random.split(key, 6)
     u = jax.random.uniform(k0, (n,))
     apply = (u >= p) if reference_semantics else (u < p)
-    x = images.astype(jnp.float32)
+    x0 = images.astype(jnp.float32)
 
     def factor(k, v):
         lo, hi = max(0.0, 1.0 - v), 1.0 + v
         f = jax.random.uniform(k, (n,), minval=lo, maxval=hi)
         return jnp.where(apply, f, 1.0)
 
+    ops = []
     if brightness:
-        x = _adjust_brightness(x, factor(kb, brightness))
+        fb = factor(kb, brightness)
+        ops.append(lambda x: _adjust_brightness(x, fb))
     if contrast:
-        x = _adjust_contrast(x, factor(kc, contrast))
+        fc = factor(kc, contrast)
+        ops.append(lambda x: _adjust_contrast(x, fc))
     if saturation:
-        x = _adjust_saturation(x, factor(ks, saturation))
+        fs = factor(ks, saturation)
+        ops.append(lambda x: _adjust_saturation(x, fs))
     if hue:
-        f = jax.random.uniform(kh, (n,), minval=-hue, maxval=hue)
-        x = _adjust_hue(x, jnp.where(apply, f, 0.0))
+        fh = jax.random.uniform(kh, (n,), minval=-hue, maxval=hue)
+        fh = jnp.where(apply, fh, 0.0)
+        ops.append(lambda x: _adjust_hue(x, fh))
+
+    if not ops:
+        return x0, masks
+    if len(ops) == 1 or not random_order:
+        x = x0
+        for op in ops:
+            x = op(x)
+        return x, masks
+
+    perms = list(itertools.permutations(range(len(ops))))
+    pidx = jax.random.randint(kp, (n,), 0, len(perms))
+    outs = []
+    for perm in perms:
+        x = x0
+        for j in perm:
+            x = ops[j](x)
+        outs.append(x)
+    stacked = jnp.stack(outs)  # (k!, N, H, W, C)
+    x = jnp.take_along_axis(
+        stacked, pidx[None, :, None, None, None], axis=0)[0]
     return x, masks
 
 
@@ -439,6 +470,7 @@ class AugmentConfig(NamedTuple):
     jitter_contrast: float = 0.0
     jitter_saturation: float = 0.0
     jitter_hue: float = 0.0
+    jitter_random_order: bool = True  # transforms.py:430-460 shuffle
     random_scale: bool = False     # lr_finder.py pipeline uses it
     scale_range: Tuple[float, float] = (0.5, 2.0)
     scale_fill: int = 11
@@ -475,7 +507,8 @@ def make_train_augment(cfg: AugmentConfig, compute_dtype=jnp.float32):
                 or cfg.jitter_saturation or cfg.jitter_hue):
             x, m = color_jitter(k4, x, m, cfg.jitter_p,
                                 cfg.jitter_brightness, cfg.jitter_contrast,
-                                cfg.jitter_saturation, cfg.jitter_hue)
+                                cfg.jitter_saturation, cfg.jitter_hue,
+                                random_order=cfg.jitter_random_order)
         x = to_tensor_normalize(x, cfg.mean, cfg.std, compute_dtype)
         return x, m.astype(jnp.int32)
 

@@ -33,6 +33,10 @@ import numpy as np
 
 CACHE_VERSION = 1
 
+# fast.ai CamVid tarball (dataset/camvid.py:25-27)
+CAMVID_URL = "https://s3.amazonaws.com/fast-ai-imagelocal/camvid.tgz"
+CAMVID_MD5 = "2e796d442fe723192014ace89a1515b1"
+
 # 32 -> 12 grouping (dataset/camvid.py:33-89). Keys are the 32 CamVid class
 # names from codes.txt; values are the 12 canonical groups.
 CAMVID_LABEL_GROUPS: Dict[str, str] = {
@@ -143,10 +147,7 @@ class CamVid:
         self.ignore_index = self.class_names.index("Void")
 
         if download:
-            # Zero-egress environments cannot download; the reference pulls
-            # https://s3.amazonaws.com/fast-ai-imagelocal/camvid.tgz
-            # (dataset/camvid.py:25-31). We only extract a local tarball.
-            pass
+            self._download()
 
         if image_set not in ("train", "val"):
             raise RuntimeError("image set should only be train or set")
@@ -154,9 +155,50 @@ class CamVid:
         self._maybe_extract()
         self.images, self.labels, self.names = self._load_or_build_cache()
 
-    # ---- extraction ----
+    # ---- download / extraction ----
     def _camvid_dir(self) -> str:
         return os.path.join(self._root, "camvid")
+
+    def _download(self, timeout: float = 30.0):
+        """Fetch the fast.ai tarball + md5-check it (dataset/camvid.py:25-31
+        via torchvision download_url). Skips when the data or the tarball is
+        already present; FAILS LOUDLY when the fetch is impossible (e.g. a
+        zero-egress environment) instead of deferring to a confusing
+        FileNotFoundError later."""
+        import hashlib
+        import urllib.request
+
+        tgz = os.path.join(self._root, "camvid.tgz")
+        if os.path.exists(self._camvid_dir()) or os.path.exists(tgz):
+            return  # already downloaded/extracted (download_url's skip rule)
+        os.makedirs(self._root, exist_ok=True)
+        tmp = tgz + ".part"
+        try:
+            md5 = hashlib.md5()
+            with urllib.request.urlopen(CAMVID_URL, timeout=timeout) as r, \
+                    open(tmp, "wb") as f:
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    md5.update(chunk)
+                    f.write(chunk)
+            if md5.hexdigest() != CAMVID_MD5:
+                raise RuntimeError(
+                    f"camvid.tgz md5 {md5.hexdigest()} != expected "
+                    f"{CAMVID_MD5} — corrupt download")
+            os.replace(tmp, tgz)
+        except RuntimeError:
+            raise
+        except Exception as e:
+            raise RuntimeError(
+                f"could not download {CAMVID_URL}: {e!r}. In an offline "
+                f"environment, place camvid.tgz (or an extracted camvid/ "
+                f"tree) under {self._root!r} and rerun without -download."
+            ) from e
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
     def _maybe_extract(self):
         tgz = os.path.join(self._root, "camvid.tgz")

@@ -39,10 +39,40 @@ def synthetic_arrays(n: int, hw: Tuple[int, int] = (360, 480),
     return images, labels
 
 
+def _structured_pair(rng, h: int, w: int, block: int = 40):
+    """(image BGR uint8, label32 uint8) with learnable structure: blocky
+    12-class regions, each pixel colored by a class-specific BGR base +
+    noise, and the stored label a RANDOM 32-class member of the group — so
+    training data exercises the 32->12 grouping LUT while the grouped task
+    stays learnable (label correlates with color)."""
+    from pytorch_camvid_tpu.data.camvid import (
+        CAMVID_CLASS_NAMES, CAMVID_LABEL_GROUPS)
+    members = [[i for i, c in enumerate(CAMVID_CODES_32)
+                if CAMVID_LABEL_GROUPS[c] == g] for g in CAMVID_CLASS_NAMES]
+    # 12 visually distinct BGR base colors (deterministic)
+    palette = np.stack(np.meshgrid([40, 120, 215], [40, 120, 215],
+                                   [40, 215])).reshape(3, -1).T[:12]
+    lab12 = rng.integers(0, 12, size=(h // block + 1, w // block + 1),
+                         dtype=np.uint8)
+    lab12 = np.kron(lab12, np.ones((block, block), np.uint8))[:h, :w]
+    img = palette[lab12].astype(np.float32)
+    img += rng.normal(0, 25, size=img.shape)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    # per-image random group member for each of the 12 classes
+    code_for = np.array([m[rng.integers(0, len(m))] for m in members],
+                        np.uint8)
+    return img, code_for[lab12]
+
+
 def write_synthetic_camvid(root: str, n_train: int = 6, n_val: int = 2,
-                           hw: Tuple[int, int] = (96, 128), seed: int = 0):
+                           hw: Tuple[int, int] = (96, 128), seed: int = 0,
+                           structured: bool = False):
     """Write a miniature on-disk CamVid tree (images/, labels/ with 32-class
-    ids, codes.txt, valid.txt) under ``root/camvid``; returns the dir."""
+    ids, codes.txt, valid.txt) under ``root/camvid``; returns the dir.
+
+    structured=True writes learnable data (labels correlate with color) so
+    real training runs show falling loss / rising mIOU; the default random
+    data is enough for plumbing tests."""
     import cv2
     rng = np.random.default_rng(seed)
     d = os.path.join(root, "camvid")
@@ -51,11 +81,14 @@ def write_synthetic_camvid(root: str, n_train: int = 6, n_val: int = 2,
     h, w = hw
     names = []
     for i in range(n_train + n_val):
-        name = f"seq{i:02d}.png"
+        name = f"seq{i:03d}.png"
         names.append(name)
-        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        lab32 = rng.integers(0, len(CAMVID_CODES_32), size=(h, w),
-                             dtype=np.uint8)
+        if structured:
+            img, lab32 = _structured_pair(rng, h, w)
+        else:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            lab32 = rng.integers(0, len(CAMVID_CODES_32), size=(h, w),
+                                 dtype=np.uint8)
         cv2.imwrite(os.path.join(d, "images", name), img)
         cv2.imwrite(os.path.join(d, "labels", name.replace(".", "_P.")),
                     lab32)

@@ -20,21 +20,29 @@ import jax.numpy as jnp
 
 def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
                        class_weights: Optional[jax.Array] = None,
-                       ignore_index: Optional[int] = None) -> jax.Array:
+                       ignore_index=None) -> jax.Array:
     """Mean cross entropy.
 
     Args:
       logits: (N, H, W, C) float.
       labels: (N, H, W) int.
       class_weights: optional (C,) float per-class weights.
-      ignore_index: optional label value excluded from the loss.
+      ignore_index: optional label value — or tuple of values — excluded
+        from the loss (torch supports one; eval needs both the pad sentinel
+        255 and a configured ignore class at once).
     """
     logits = logits.astype(jnp.float32)
-    c = logits.shape[-1]
+    if ignore_index is None:
+        ignore = ()
+    elif isinstance(ignore_index, (tuple, list, set, frozenset)):
+        ignore = tuple(sorted(set(ignore_index)))
+    else:
+        ignore = (int(ignore_index),)
     logz = jax.nn.logsumexp(logits, axis=-1)
-    safe_labels = labels
-    if ignore_index is not None:
-        safe_labels = jnp.where(labels == ignore_index, 0, labels)
+    ignored = jnp.zeros(labels.shape, bool)
+    for ig in ignore:
+        ignored |= labels == ig
+    safe_labels = jnp.where(ignored, 0, labels) if ignore else labels
     picked = jnp.take_along_axis(
         logits, safe_labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
     nll = logz - picked
@@ -45,6 +53,6 @@ def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
     else:
         w = jnp.take(class_weights.astype(jnp.float32),
                      safe_labels.astype(jnp.int32))
-    if ignore_index is not None:
-        w = jnp.where(labels == ignore_index, 0.0, w)
+    if ignore:
+        w = jnp.where(ignored, 0.0, w)
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)

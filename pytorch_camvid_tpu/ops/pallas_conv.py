@@ -49,8 +49,19 @@ from pytorch_camvid_tpu.ops.conv import BN_EPS
 
 def _pick_tile_h(h: int, wp: int, cin: int,
                  bytes_budget: int = 6 << 20, itemsize: int = 2) -> int:
-    """Largest TILE_H dividing h whose halo slab fits the VMEM budget."""
+    """Largest TILE_H dividing h whose halo slab fits the VMEM budget.
+
+    Raises when even the minimum 3-row slab busts the budget (over-wide W or
+    Cin) instead of letting the kernel OOM VMEM with an opaque Mosaic error.
+    """
     row_bytes = wp * cin * itemsize
+    if 3 * row_bytes > bytes_budget:
+        raise ValueError(
+            f"conv3x3 Pallas kernel: one 3-row halo slab is "
+            f"{3 * row_bytes} bytes (padded width {wp} x Cin {cin} x "
+            f"{itemsize}B) > the {bytes_budget}-byte VMEM budget — the "
+            f"input is too wide/deep for this kernel; use the XLA conv "
+            f"(use_pallas=False) or shard W spatially (parallel/spatial.py)")
     best = 1
     for t in range(1, h + 1):
         if h % t == 0 and (t + 2) * row_bytes <= bytes_budget:
@@ -153,7 +164,7 @@ def conv3x3_bn_relu_pallas(x: jax.Array, w: jax.Array, a: jax.Array,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # shift stack, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # shift stack, manual DMA
             pl.BlockSpec((3, 3, cin, tile_co),
                          lambda n, i, co: (0, 0, 0, co),
                          memory_space=pltpu.VMEM),

@@ -85,7 +85,7 @@ def _conv3x3_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((3, 3, cin, tile_co),
                          lambda n, i, co: (0, 0, 0, co),
                          memory_space=pltpu.VMEM),
@@ -159,7 +159,7 @@ def _conv3x3_dw(x: jax.Array, g: jax.Array) -> jax.Array:
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, tile_h, wq, tile_co),
                          lambda co, n, i: (n, i, 0, co),
                          memory_space=pltpu.VMEM),

@@ -65,7 +65,11 @@ def _pick_tile(h2: int, w2: int, c: int, itemsize: int,
     for t in range(h2, 0, -1):
         if h2 % t == 0 and nbufs * t * w2 * c * itemsize <= (8 << 20):
             return t
-    return 1
+    raise ValueError(
+        f"pool Pallas kernel: even a 1-row tile needs "
+        f"{nbufs * w2 * c * itemsize} bytes of VMEM (> {8 << 20}) — input "
+        f"too wide/deep for this kernel; use the XLA pooling path "
+        f"(ops/pooling.py)")
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

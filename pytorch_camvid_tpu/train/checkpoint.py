@@ -58,6 +58,14 @@ def load_checkpoint(path: str, like: Any, sharding=None):
         raise ValueError(
             f"checkpoint has {n} leaves, template has {len(leaves_t)} — "
             "model/optimizer mismatch")
+    # leaf count+shapes can coincide across different structures; the saved
+    # treedef string is the authoritative structure fingerprint
+    if payload.get("treedef") not in (None, str(treedef)):
+        raise ValueError(
+            f"checkpoint treedef does not match the template structure — "
+            f"wrong model/optimizer for {path}:\n"
+            f"  checkpoint: {payload['treedef'][:200]}...\n"
+            f"  template:   {str(treedef)[:200]}...")
     leaves = []
     for i, tmpl in enumerate(leaves_t):
         arr = z[f"leaf_{i}"]

@@ -86,13 +86,19 @@ def _pad_batch(images, labels, to_size: int, sentinel: int = 255):
 
 def evaluate(state, eval_fn, loader: DeviceDataLoader, normalize,
              batch_size: int, sharding=None):
-    """Run the eval loop; returns (avg_batch_loss_sum, confusion_matrix).
+    """Run the eval loop; returns (batch_loss_sum, confusion_matrix,
+    n_batches).
+
+    The reference reports eval loss as the per-batch-mean sum divided by the
+    number of *batches* (eval.py:68: test_loss / len(valid_loader)) — callers
+    divide ``batch_loss_sum / n_batches`` to match.
 
     Final ragged batches are padded with label-255 sentinels which the
     confusion matrix and (ignore-aware) loss both drop; under data
     parallelism the padded batch is pinned to ``sharding``.
     """
     total_loss = 0.0
+    n_batches = 0
     # accumulate on host in float64: per-cell counts can exceed float32's
     # 2^24 integer range on large splits (e.g. VOC: ~271M pixels)
     cm_total = None
@@ -106,9 +112,10 @@ def evaluate(state, eval_fn, loader: DeviceDataLoader, normalize,
         x = normalize(images)
         loss, cm = eval_fn(state, (x, labels.astype(jnp.int32)))
         total_loss += float(loss)
+        n_batches += 1
         cm = np.asarray(cm, np.float64)
         cm_total = cm if cm_total is None else cm_total + cm
-    return total_loss, cm_total
+    return total_loss, cm_total, n_batches
 
 
 def print_epoch_metrics(cm: np.ndarray, class_names: Sequence[str],
@@ -187,10 +194,15 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                            ignore_index=loss_ignore,
                            augment_fn=augment, compute_dtype=dtype)
     train_step = jit_train_step(step, mesh)
+    # the eval loss must drop the ragged-batch pad sentinel 255 AND whatever
+    # the training loss ignores, so Test/Loss measures the same objective
+    eval_loss_ignore = {255} | ({loss_ignore} if loss_ignore is not None
+                                else set())
     eval_step = jit_eval_step(
         make_eval_step(apply_fn, train_ds.class_num,
                        ignore_index=train_ds.ignore_index,
-                       class_weights=cw, loss_ignore_index=255,
+                       class_weights=cw,
+                       loss_ignore_index=tuple(eval_loss_ignore),
                        compute_dtype=dtype), mesh)
 
     state = jax.device_put(state, rep)
@@ -262,8 +274,9 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                   f"{time.time() - start:.2f}s")
 
         test_start = time.time()
-        loss_sum, cm = evaluate(state, eval_step, val_loader, normalize,
-                                cfg.batch_size, sharding=bsh)
+        loss_sum, cm, n_batches = evaluate(state, eval_step, val_loader,
+                                           normalize, cfg.batch_size,
+                                           sharding=bsh)
         if not cfg.quiet:
             print(f"Evaluation time comsumed:{time.time() - test_start:.2f}s")
         miou, all_acc = print_epoch_metrics(cm, train_ds.class_names,
@@ -271,8 +284,8 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
         if logger is not None:
             logger.scalar("Test/mIOU", miou, epoch)
             logger.scalar("Test/Acc", all_acc, epoch)
-            logger.scalar("Test/Loss",
-                          loss_sum / max(val_ds.images.shape[0], 1), epoch)
+            # per-batch normalization like the reference (eval.py:68)
+            logger.scalar("Test/Loss", loss_sum / max(n_batches, 1), epoch)
         history.append({"epoch": epoch, "miou": miou, "all_acc": all_acc})
 
         if cfg.checkpoint_dir:

@@ -1,10 +1,10 @@
 """Running confusion-matrix metrics accumulator (reference:
 legacy/metrics.py Metrics class, consumed by eval.py:40-72).
 
-Same API surface — add(preds, gts), precision(), recall(), iou(),
-clear_data() — but the matrix update is the on-device bincount reduction
-(ops/metrics.py) instead of sklearn on CPU; results are bit-equal to the
-sklearn path (verified in tests/test_metrics.py)."""
+Same API surface — add(preds, gts), precision(), recall(), iou(), clear()
+(legacy/metrics.py:32) — but the matrix update is the on-device bincount
+reduction (ops/metrics.py) instead of sklearn on CPU; results are bit-equal
+to the sklearn path (verified in tests/test_metrics.py)."""
 
 from __future__ import annotations
 
@@ -30,8 +30,12 @@ class Metrics:
                               self.class_num, self.ignore_index)
         self._cm += np.asarray(cm, np.float64)
 
-    def clear_data(self):
+    def clear(self):
+        """Reset the accumulated matrix (legacy/metrics.py:32)."""
         self._cm[:] = 0
+
+    # pre-round-2 name; kept so existing callers don't break
+    clear_data = clear
 
     def _keep(self):
         return [i for i in range(self.class_num) if i != self.ignore_index]

@@ -45,7 +45,7 @@ def test_camvid_split_and_cache(tmp_path):
     assert train.labels.shape == (6, 48, 64)
     assert train.labels.max() < 12
     # val files are exactly those in valid.txt
-    assert set(val.names) == {"seq06.png", "seq07.png"}
+    assert set(val.names) == {"seq006.png", "seq007.png"}
 
     # cache round-trip: second construction loads identical arrays
     train2 = CamVid(root, image_set="train", image_size=(64, 48))

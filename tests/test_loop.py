@@ -51,7 +51,8 @@ def test_evaluate_pads_ragged_final_batch():
                                      loss_ignore_index=255))
     loader = DeviceDataLoader(ds.images, ds.labels, 4)
     normalize = make_eval_normalize((0.4,) * 3, (0.3,) * 3)
-    _, cm = evaluate(state, eval_fn, loader, normalize, 4)
+    _, cm, n_batches = evaluate(state, eval_fn, loader, normalize, 4)
+    assert n_batches == 2  # 4 + ragged 1 (reference eval.py:68 denominator)
 
     # direct single-pass oracle over all 5 images
     x = normalize(jnp.asarray(ds.images))

@@ -1,0 +1,124 @@
+"""Round-2 parity fixes (VERDICT.md 'missing' items + ADVICE.md findings):
+
+- Metrics.clear() API parity (legacy/metrics.py:32)
+- eval loss normalized by batch count (eval.py:68) — asserted in test_loop
+- cross_entropy_loss with multiple ignore indices (eval pad sentinel 255 +
+  configured ignore class, ADVICE loop.py:193)
+- checkpoint treedef fingerprint check (ADVICE checkpoint.py:57)
+- -download fails loudly in offline environments (dataset/camvid.py:25-31)
+- ColorJitter per-sample random sub-transform order (transforms.py:430-460)
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pytorch_camvid_tpu.ops.loss import cross_entropy_loss
+from pytorch_camvid_tpu.utils.confusion import Metrics
+
+
+def test_metrics_clear_api_parity():
+    m = Metrics(3, ignore_index=None)
+    m.add(np.array([0, 1, 2]), np.array([0, 1, 1]))
+    assert m.matrix.sum() == 3
+    m.clear()  # the legacy/metrics.py:32 name
+    assert m.matrix.sum() == 0
+    # pre-round-2 alias still works
+    m.add(np.array([0]), np.array([0]))
+    m.clear_data()
+    assert m.matrix.sum() == 0
+
+
+def test_loss_multi_ignore_index():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(2, 4, 4, 5)).astype(np.float32))
+    labels = np.array([[[0, 1, 2, 3]] * 4, [[4, 255, 11, 0]] * 4])
+    # 11 is out of class range here on purpose: with multi-ignore both 255
+    # and 11 must be dropped; oracle = single-ignore on a relabeled copy
+    labels_j = jnp.asarray(labels)
+    got = cross_entropy_loss(logits, labels_j, ignore_index=(255, 11))
+    merged = np.where(np.isin(labels, (255, 11)), 255, labels)
+    want = cross_entropy_loss(logits, jnp.asarray(merged), ignore_index=255)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+    # single int still works identically to the tuple form
+    got1 = cross_entropy_loss(logits, labels_j, ignore_index=255)
+    got2 = cross_entropy_loss(logits, labels_j, ignore_index=(255,))
+    np.testing.assert_allclose(float(got1), float(got2), rtol=0)
+
+
+def test_checkpoint_treedef_mismatch_raises(tmp_path):
+    from pytorch_camvid_tpu.train.checkpoint import (
+        save_checkpoint, load_checkpoint)
+    # two different structures with the SAME leaf count and shapes
+    a = {"x": np.zeros((2, 2)), "y": {"z": np.ones((3,))}}
+    b = {"x": np.zeros((2, 2)), "q": {"r": np.ones((3,))}}
+    path = str(tmp_path / "ck.ckpt.npz")
+    save_checkpoint(path, a)
+    with pytest.raises(ValueError, match="treedef"):
+        load_checkpoint(path, b)
+    restored, _ = load_checkpoint(path, a)  # matching template is fine
+    np.testing.assert_array_equal(restored["y"]["z"], a["y"]["z"])
+
+
+def test_download_fails_loudly_offline(tmp_path, monkeypatch):
+    import urllib.request
+    from pytorch_camvid_tpu.data.camvid import CamVid
+
+    def no_egress(*a, **k):
+        raise OSError("network unreachable")
+
+    monkeypatch.setattr(urllib.request, "urlopen", no_egress)
+    with pytest.raises(RuntimeError, match="could not download"):
+        CamVid(str(tmp_path / "nowhere"), download=True)
+    # nothing half-written left behind
+    assert not (tmp_path / "nowhere" / "camvid.tgz.part").exists()
+
+
+def test_download_skips_when_extracted(tmp_path, monkeypatch):
+    import urllib.request
+    from pytorch_camvid_tpu.data.camvid import CamVid
+    from pytorch_camvid_tpu.data.synthetic import write_synthetic_camvid
+
+    write_synthetic_camvid(str(tmp_path), n_train=3, n_val=1, hw=(32, 32))
+
+    def boom(*a, **k):  # must never be called
+        raise AssertionError("tried to download despite existing data")
+
+    monkeypatch.setattr(urllib.request, "urlopen", boom)
+    ds = CamVid(str(tmp_path), download=True, image_set="train",
+                image_size=(32, 32))
+    assert len(ds) == 3
+
+
+def test_color_jitter_random_order():
+    from pytorch_camvid_tpu.data.augment import (
+        color_jitter, _adjust_brightness, _adjust_contrast)
+    rng = np.random.default_rng(1)
+    n = 32
+    images = jnp.asarray(rng.integers(0, 256, (n, 8, 8, 3), np.uint8))
+    masks = jnp.zeros((n, 8, 8), jnp.uint8)
+    key = jax.random.PRNGKey(7)
+    # p=0 never skips under reference semantics (u >= 0 always)
+    out, _ = color_jitter(key, images, masks, p=0.0, brightness=0.6,
+                          contrast=0.6, random_order=True)
+    out = np.asarray(out)
+
+    # rebuild the two order-oracles with the same factor draws
+    k0, kb, kc, ks, kh, kp = jax.random.split(key, 6)
+    fb = jax.random.uniform(kb, (n,), minval=0.4, maxval=1.6)
+    fc = jax.random.uniform(kc, (n,), minval=0.4, maxval=1.6)
+    x = images.astype(jnp.float32)
+    bc = np.asarray(_adjust_contrast(_adjust_brightness(x, fb), fc))
+    cb = np.asarray(_adjust_brightness(_adjust_contrast(x, fc), fb))
+
+    is_bc = np.array([np.array_equal(out[i], bc[i]) for i in range(n)])
+    is_cb = np.array([np.array_equal(out[i], cb[i]) for i in range(n)])
+    assert np.all(is_bc | is_cb)       # every sample matches some order
+    assert is_bc.any() and is_cb.any()  # and both orders actually occur
+
+    # single active sub-transform: unchanged fixed-order fast path
+    out1, _ = color_jitter(key, images, masks, p=0.0, brightness=0.6,
+                           random_order=True)
+    want1 = np.asarray(_adjust_brightness(x, fb))
+    np.testing.assert_array_equal(np.asarray(out1), want1)

@@ -33,14 +33,23 @@ if __name__ == "__main__":
                         help="whether to download camvid dataset")
     parser.add_argument("-data", type=str, default="data",
                         help="dataset root folder")
-    parser.add_argument("-dtype", type=str, default="bfloat16",
+    # float32 matches the reference recipe's numerics; pass -dtype bfloat16
+    # explicitly for ~2x MXU throughput on TPU
+    parser.add_argument("-dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
-                        help="compute dtype on device")
+                        help="compute dtype on device (float32 = reference "
+                        "numerics; bfloat16 = fast TPU path)")
     parser.add_argument("-dp", type=int, default=0,
                         help="data-parallel devices (0 = all)")
     parser.add_argument("-seed", type=int, default=0)
     parser.add_argument("-quiet", action="store_true", default=False)
+    parser.add_argument("-image_size", type=int, nargs=2, default=None,
+                        metavar=("W", "H"),
+                        help="working size in cv2 (W, H) order; default "
+                        "settings.IMAGE_SIZE = (480, 360)")
     args = parser.parse_args()
+    image_size = (tuple(args.image_size) if args.image_size
+                  else settings.IMAGE_SIZE)
 
     root_path = os.path.dirname(os.path.abspath(__file__))
     checkpoint_path = os.path.join(root_path, settings.CHECKPOINT_FOLDER,
@@ -51,10 +60,10 @@ if __name__ == "__main__":
 
     train_dataset = CamVid(args.data, image_set="train",
                            download=args.download,
-                           image_size=settings.IMAGE_SIZE)
+                           image_size=image_size)
     valid_dataset = CamVid(args.data, image_set="val",
                            download=args.download,
-                           image_size=settings.IMAGE_SIZE)
+                           image_size=image_size)
     print()
 
     cfg = TrainConfig(

@@ -98,6 +98,6 @@ if __name__ == "__main__":
                                          lr=float(metrics["lr"])))
         print(time.time() - t1)
 
-        loss_sum, cm = evaluate(state, eval_step, val_loader, normalize,
-                                global_batch)
+        loss_sum, cm, _ = evaluate(state, eval_step, val_loader, normalize,
+                                   global_batch)
         print_epoch_metrics(cm, train_ds.class_names, train_ds.ignore_index)
