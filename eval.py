@@ -40,12 +40,22 @@ if __name__ == "__main__":
                         metavar=("W", "H"),
                         help="working size in cv2 (W, H) order; default "
                         "settings.IMAGE_SIZE")
+    parser.add_argument("-dataset", type=str, default="camvid",
+                        choices=["camvid", "voc2012"],
+                        help="dataset to evaluate on")
     args = parser.parse_args()
 
-    valid_dataset = CamVid(args.data, image_set="val",
-                           image_size=(tuple(args.image_size)
-                                       if args.image_size
-                                       else settings.IMAGE_SIZE))
+    image_size = (tuple(args.image_size) if args.image_size
+                  else settings.IMAGE_SIZE)
+    mean, std = settings.MEAN, settings.STD
+    if args.dataset == "voc2012":
+        from pytorch_camvid_tpu.data import VOC2012Aug
+        valid_dataset = VOC2012Aug(args.data, image_set="val",
+                                   image_size=image_size)
+        mean, std = settings.VOC_MEAN, settings.VOC_STD
+    else:
+        valid_dataset = CamVid(args.data, image_set="val",
+                               image_size=image_size)
 
     init_fn, apply_fn = get_model(args.net, 3, valid_dataset.class_num)
     variables = init_fn(jax.random.PRNGKey(0))
@@ -74,7 +84,7 @@ if __name__ == "__main__":
         ignore_index=valid_dataset.ignore_index, loss_ignore_index=255))
     loader = DeviceDataLoader(valid_dataset.images, valid_dataset.labels,
                               args.b)
-    normalize = make_eval_normalize(settings.MEAN, settings.STD)
+    normalize = make_eval_normalize(mean, std)
 
     loss_sum, cm, n_batches = evaluate(state, eval_fn, loader, normalize,
                                        args.b)

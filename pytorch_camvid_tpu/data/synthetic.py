@@ -39,6 +39,34 @@ def synthetic_arrays(n: int, hw: Tuple[int, int] = (360, 480),
     return images, labels
 
 
+def write_synthetic_voc(root: str, n_train: int = 3, n_val: int = 2,
+                        seed: int = 0):
+    """Write a miniature VOC2012-augmented on-disk tree (JPEGImages/,
+    SegmentationClassAugRaw/, ImageSets/Segmentation/{trainaug,val}.txt)
+    with varying image sizes, as the letterbox cache builder expects."""
+    import cv2
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(root, "SegmentationClassAugRaw"), exist_ok=True)
+    os.makedirs(os.path.join(root, "ImageSets", "Segmentation"),
+                exist_ok=True)
+    names = [f"2007_{i:06d}" for i in range(n_train + n_val)]
+    for i, name in enumerate(names):
+        h, w = (120 + 17 * (i % 4), 160 - 11 * (i % 4))  # varying sizes
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        lab = rng.integers(0, 21, size=(h, w), dtype=np.uint8)
+        cv2.imwrite(os.path.join(root, "JPEGImages", name + ".jpg"), img)
+        cv2.imwrite(os.path.join(root, "SegmentationClassAugRaw",
+                                 name + ".png"), lab)
+    with open(os.path.join(root, "ImageSets", "Segmentation",
+                           "trainaug.txt"), "w") as f:
+        f.write("\n".join(names[:n_train]) + "\n")
+    with open(os.path.join(root, "ImageSets", "Segmentation",
+                           "val.txt"), "w") as f:
+        f.write("\n".join(names[n_train:]) + "\n")
+    return names
+
+
 def _structured_pair(rng, h: int, w: int, block: int = 40):
     """(image BGR uint8, label32 uint8) with learnable structure: blocky
     12-class regions, each pixel colored by a class-specific BGR base +

@@ -73,20 +73,27 @@ class Predictor:
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         """images: (N, H, W, 3) uint8 BGR, any H/W (resized on device).
-        Returns (N, h, w) uint8 class maps at the working size."""
+        Returns (N, h, w) uint8 class maps at the working size.
+
+        All chunks are DISPATCHED first (JAX dispatch is async), then the
+        results are drained — so chunk t+1's H2D + compute overlap chunk t's
+        D2H instead of serializing per chunk, which is what made forward-only
+        serving slower than training through a remote device tunnel."""
         n = images.shape[0]
         h, w = self._hw
         if images.shape[1:3] != (h, w):
             x = jnp.asarray(images, jnp.float32)
             x = resize_bilinear_cv2(x, (h, w))
             images = np.asarray(jnp.round(jnp.clip(x, 0, 255)), np.uint8)
-        out = []
+        inflight = []
         for lo in range(0, n, self._batch):
             chunk = images[lo: lo + self._batch]
-            pad = self._batch - len(chunk)
+            keep = len(chunk)
+            pad = self._batch - keep
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)])
-            preds = self._forward(self._variables, jnp.asarray(chunk))
-            out.append(np.asarray(preds)[: len(images[lo: lo + self._batch])])
+            inflight.append(
+                (self._forward(self._variables, jnp.asarray(chunk)), keep))
+        out = [np.asarray(preds)[:keep] for preds, keep in inflight]
         return np.concatenate(out) if out else np.zeros((0, h, w), np.uint8)

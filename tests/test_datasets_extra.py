@@ -14,27 +14,7 @@ from pytorch_camvid_tpu.data.tableborder import TableBorder
 from pytorch_camvid_tpu.utils.confusion import Metrics
 
 
-def _write_voc(root, n_train=3, n_val=2):
-    rng = np.random.default_rng(0)
-    os.makedirs(os.path.join(root, "JPEGImages"), exist_ok=True)
-    os.makedirs(os.path.join(root, "SegmentationClassAugRaw"), exist_ok=True)
-    os.makedirs(os.path.join(root, "ImageSets", "Segmentation"),
-                exist_ok=True)
-    names = [f"2007_{i:06d}" for i in range(n_train + n_val)]
-    for i, name in enumerate(names):
-        h, w = (120 + 17 * (i % 4), 160 - 11 * (i % 4))  # varying sizes
-        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        lab = rng.integers(0, 21, size=(h, w), dtype=np.uint8)
-        cv2.imwrite(os.path.join(root, "JPEGImages", name + ".jpg"), img)
-        cv2.imwrite(os.path.join(root, "SegmentationClassAugRaw",
-                                 name + ".png"), lab)
-    with open(os.path.join(root, "ImageSets", "Segmentation",
-                           "trainaug.txt"), "w") as f:
-        f.write("\n".join(names[:n_train]) + "\n")
-    with open(os.path.join(root, "ImageSets", "Segmentation",
-                           "val.txt"), "w") as f:
-        f.write("\n".join(names[n_train:]) + "\n")
-    return names
+from pytorch_camvid_tpu.data.synthetic import write_synthetic_voc as _write_voc
 
 
 def test_voc2012_cache_and_splits(tmp_path):

@@ -91,6 +91,29 @@ def test_download_skips_when_extracted(tmp_path, monkeypatch):
     assert len(ds) == 3
 
 
+def test_train_cli_voc2012(tmp_path):
+    """`train.py -dataset voc2012` trains end-to-end (reference capability
+    dataset/voc2012.py, which its train.py never wires up — SURVEY.md §2.1).
+    """
+    import subprocess, sys, os
+    from pytorch_camvid_tpu.data.synthetic import write_synthetic_voc
+    write_synthetic_voc(str(tmp_path), n_train=4, n_val=2)
+    # subprocess must come up on the CPU backend (the axon plugin ignores
+    # JAX_PLATFORMS=cpu) — inject it via sitecustomize on PYTHONPATH
+    (tmp_path / "sitecustomize.py").write_text(
+        "import jax\njax.config.update('jax_platforms', 'cpu')\n")
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               PYTHONPATH=f"{tmp_path}:/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/train.py", "-net", "unet", "-b", "2",
+         "-e", "1", "-data", str(tmp_path), "-dataset", "voc2012",
+         "-image_size", "64", "48", "-dp", "1", "-quiet"],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
 def test_color_jitter_random_order():
     from pytorch_camvid_tpu.data.augment import (
         color_jitter, _adjust_brightness, _adjust_contrast)

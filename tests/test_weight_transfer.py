@@ -142,3 +142,76 @@ def test_unet_weight_transfer_forward_parity():
 
 def test_segnet_weight_transfer_forward_parity():
     _roundtrip_and_compare("segnet", _SegNetOracle)
+
+
+# ---- parity against the ACTUAL reference implementation -------------------
+# The oracles above are rebuilt from the same stage specs our models use; a
+# shared-spec mistake would pass both sides (VERDICT.md round-1 weak #3).
+# These tests import /root/reference/models/{unet,segnet}.py and execute the
+# reference's own forward (models/unet.py:94-156, models/segnet.py:82-118).
+
+import os  # noqa: E402
+import pytest  # noqa: E402
+
+_REF_MODELS = "/root/reference/models"
+
+
+def _import_reference(module: str):
+    import importlib.util
+    path = os.path.join(_REF_MODELS, module + ".py")
+    if not os.path.exists(path):
+        pytest.skip(f"reference source not available at {path}")
+    spec = importlib.util.spec_from_file_location(f"_ref_{module}", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _reference_forward_parity(net_name: str, cls_name: str, module: str,
+                              hw=(45, 60)):
+    ref = _import_reference(module)
+    torch.manual_seed(0)
+    net = getattr(ref, cls_name)(3, 12)
+    init_fn, apply_fn = get_model(net_name, 3, 12)
+    variables = init_fn(jax.random.PRNGKey(0))
+    variables["state"] = jax.tree.map(
+        lambda a: a + 0.1 * jnp.arange(a.shape[0], dtype=a.dtype)
+        / a.shape[0], variables["state"])
+
+    sd = state_dict_from_variables(net_name, variables)
+    # strict load onto the REFERENCE module: any key/shape mismatch fails
+    net.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                         for k, v in sd.items()}, strict=True)
+    net.eval()
+
+    x = np.random.default_rng(1).normal(size=(1, hw[0], hw[1], 3)).astype(
+        np.float32)
+    got, _ = jax.jit(lambda v, x: apply_fn(v, x, train=False))(
+        variables, jnp.asarray(x))
+    with torch.no_grad():
+        want = net(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=1e-3)
+
+    # and the reverse direction: the reference's own randomly initialized
+    # state_dict imports into our pytree and matches the reference forward
+    torch.manual_seed(3)
+    net2 = getattr(ref, cls_name)(3, 12)
+    net2.eval()
+    sd2 = {k: v.detach().numpy() for k, v in net2.state_dict().items()}
+    v2 = variables_from_state_dict(net_name, sd2,
+                                   init_fn(jax.random.PRNGKey(2)))
+    got2, _ = jax.jit(lambda v, x: apply_fn(v, x, train=False))(
+        v2, jnp.asarray(x))
+    with torch.no_grad():
+        want2 = net2(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    want2 = want2.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got2), want2, atol=2e-3, rtol=1e-3)
+
+
+def test_unet_parity_vs_reference_source():
+    _reference_forward_parity("unet", "UNet", "unet")
+
+
+def test_segnet_parity_vs_reference_source():
+    _reference_forward_parity("segnet", "SegNet", "segnet")

@@ -1,12 +1,16 @@
 """Train CLI (reference: train.py).
 
 Same flag surface (-b, -lr, -e, -wd, -resume, -net, -download) plus
-TPU-native extras (-data, -dtype, -dp, -seed, -quiet). The loop itself lives
-in pytorch_camvid_tpu.train.loop (the reference keeps it inline,
-train.py:116-240).
+TPU-native extras (-data, -dataset, -dtype, -dp, -seed, -quiet,
+-image_size). The loop itself lives in pytorch_camvid_tpu.train.loop (the
+reference keeps it inline, train.py:116-240). -dataset voc2012 trains the
+augmented Pascal VOC2012 set (reference capability dataset/voc2012.py, which
+its train.py never wires up) with the VOC normalization stats
+(conf/settings.py:3-5) and the 255 ignore label excluded from the loss.
 """
 
 import argparse
+import dataclasses
 import os
 
 from pytorch_camvid_tpu.config import settings
@@ -33,6 +37,9 @@ if __name__ == "__main__":
                         help="whether to download camvid dataset")
     parser.add_argument("-data", type=str, default="data",
                         help="dataset root folder")
+    parser.add_argument("-dataset", type=str, default="camvid",
+                        choices=["camvid", "voc2012"],
+                        help="dataset to train on")
     # float32 matches the reference recipe's numerics; pass -dtype bfloat16
     # explicitly for ~2x MXU throughput on TPU
     parser.add_argument("-dtype", type=str, default="float32",
@@ -58,12 +65,23 @@ if __name__ == "__main__":
     os.makedirs(checkpoint_path, exist_ok=True)
     os.makedirs(log_dir, exist_ok=True)
 
-    train_dataset = CamVid(args.data, image_set="train",
-                           download=args.download,
-                           image_size=image_size)
-    valid_dataset = CamVid(args.data, image_set="val",
-                           download=args.download,
-                           image_size=image_size)
+    loss_ignore = None
+    if args.dataset == "voc2012":
+        from pytorch_camvid_tpu.data import VOC2012Aug
+        train_dataset = VOC2012Aug(args.data, image_set="train",
+                                   image_size=image_size)
+        valid_dataset = VOC2012Aug(args.data, image_set="val",
+                                   image_size=image_size)
+        settings = dataclasses.replace(settings, MEAN=settings.VOC_MEAN,
+                                       STD=settings.VOC_STD)
+        loss_ignore = train_dataset.ignore_index  # 255 (letterbox pad too)
+    else:
+        train_dataset = CamVid(args.data, image_set="train",
+                               download=args.download,
+                               image_size=image_size)
+        valid_dataset = CamVid(args.data, image_set="val",
+                               download=args.download,
+                               image_size=image_size)
     print()
 
     cfg = TrainConfig(
@@ -71,7 +89,7 @@ if __name__ == "__main__":
         weight_decay=args.wd, resume=args.resume, seed=args.seed,
         compute_dtype=args.dtype, data_parallel=args.dp,
         checkpoint_dir=checkpoint_path, log_dir=log_dir, quiet=args.quiet,
-        save_epoch=settings.SAVE_EPOCH)
+        save_epoch=settings.SAVE_EPOCH, loss_ignore_index=loss_ignore)
 
     logger = SummaryLogger(log_dir)
     try:
