@@ -170,8 +170,9 @@ def measure_serving(net: str = "unet", batch_size: int = 24,
     from pytorch_camvid_tpu.models import get_model
     from pytorch_camvid_tpu.serving import Predictor
 
+    import jax.numpy as jnp
     images, _ = synthetic_arrays(n_images, hw=hw, seed=3)
-    init_fn, _ = get_model(net, 3, 12)
+    init_fn, apply_fn = get_model(net, 3, 12)
     variables = init_fn(jax.random.PRNGKey(0))
     p = Predictor(net, variables, batch_size=batch_size, image_hw=hw)
     p.predict(images[: 2 * batch_size])  # compile + warm
@@ -180,11 +181,31 @@ def measure_serving(net: str = "unet", batch_size: int = 24,
     dt = time.perf_counter() - t0
     assert out.shape == (n_images, hw[0], hw[1])
     ips = n_images / dt
+
+    # compute-only row: device-resident input, one scalar synced — isolates
+    # the model forward from host<->device transfer (which dominates through
+    # a remote-attached tunnel; see PERF.md)
+    dvars = jax.device_put(variables)
+    xb = jnp.asarray(images[:batch_size], jnp.bfloat16)
+    f = jax.jit(lambda v, x: jnp.argmax(
+        apply_fn(v, x, train=False, compute_dtype=jnp.bfloat16)[0],
+        -1).astype(jnp.uint8))
+    r = f(dvars, xb)
+    jax.block_until_ready(r)
+    steps = max(n_images // batch_size, 1)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        r = f(dvars, xb)
+    jax.block_until_ready(r)
+    ips_compute = batch_size * steps / (time.perf_counter() - t0)
+
     flops_per_image = _conv_fwd_flops(net, hw)
     peak = _bf16_peak_flops(jax.devices()[0])
     return {
         "images_per_sec": round(ips, 2),
         "mfu": round(ips * flops_per_image / peak, 4),
+        "images_per_sec_compute_only": round(ips_compute, 2),
+        "mfu_compute_only": round(ips_compute * flops_per_image / peak, 4),
     }
 
 

@@ -32,6 +32,7 @@ def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
         255 and a configured ignore class at once).
     """
     logits = logits.astype(jnp.float32)
+    c = logits.shape[-1]
     if ignore_index is None:
         ignore = ()
     elif isinstance(ignore_index, (tuple, list, set, frozenset)):
@@ -43,16 +44,20 @@ def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
     for ig in ignore:
         ignored |= labels == ig
     safe_labels = jnp.where(ignored, 0, labels) if ignore else labels
-    picked = jnp.take_along_axis(
-        logits, safe_labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: the per-pixel gather
+    # lowers to a slow scalar gather on TPU (measured 64 ms/step at batch
+    # 24x360x480 — nearly the whole forward pass); the one-hot multiply-sum
+    # is a regular VPU reduction and numerically identical (0/1 products)
+    onehot = jax.nn.one_hot(safe_labels.astype(jnp.int32), c,
+                            dtype=logits.dtype)
+    picked = jnp.sum(logits * onehot, axis=-1)
     nll = logz - picked
 
     if class_weights is None:
         w = jnp.ones((), jnp.float32)
         w = jnp.broadcast_to(w, nll.shape)
     else:
-        w = jnp.take(class_weights.astype(jnp.float32),
-                     safe_labels.astype(jnp.int32))
+        w = jnp.sum(onehot * class_weights.astype(jnp.float32), axis=-1)
     if ignore:
         w = jnp.where(ignored, 0.0, w)
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)

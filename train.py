@@ -58,10 +58,11 @@ if __name__ == "__main__":
     image_size = (tuple(args.image_size) if args.image_size
                   else settings.IMAGE_SIZE)
 
-    root_path = os.path.dirname(os.path.abspath(__file__))
-    checkpoint_path = os.path.join(root_path, settings.CHECKPOINT_FOLDER,
+    # cwd-relative like the reference (train.py:36-45 joins the bare
+    # 'checkpoints'/'runs' folder names)
+    checkpoint_path = os.path.join(settings.CHECKPOINT_FOLDER,
                                    settings.TIME_NOW)
-    log_dir = os.path.join(root_path, settings.LOG_FOLDER, settings.TIME_NOW)
+    log_dir = os.path.join(settings.LOG_FOLDER, settings.TIME_NOW)
     os.makedirs(checkpoint_path, exist_ok=True)
     os.makedirs(log_dir, exist_ok=True)
 
