@@ -25,9 +25,10 @@ Semantics parity with transforms.py (quirks documented in SURVEY.md §2.5):
   imgaug rule (transforms.py:224-238), cv2 BORDER_REFLECT_101 edges,
   separable depthwise convolution with a masked 9-tap kernel.
 - ColorJitter: brightness/contrast via the reference's integer LUT formulas
-  (transforms.py:296-303,337-344), saturation as PIL's gray-blend, hue as an
-  HSV shift. Reference recipe ColorJitter(0.4, 0.4) = p 0.4 (skip),
-  brightness only (train.py:66).
+  (transforms.py:296-303,337-344), saturation as PIL's gray-blend, hue
+  through PIL's uint8-quantized HSV space (exact HSV->RGB leg,
+  oracle-bounded RGB->HSV — see _adjust_hue). Reference recipe
+  ColorJitter(0.4, 0.4) = p 0.4 (skip), brightness only (train.py:66).
 - Normalize: /255 then (x - MEAN)/STD per BGR channel (transforms.py:485-539).
 """
 
@@ -350,32 +351,58 @@ def _adjust_saturation(img_bgr: jax.Array, factor: jax.Array) -> jax.Array:
 
 
 def _adjust_hue(img_bgr: jax.Array, factor: jax.Array) -> jax.Array:
-    """PIL-style HSV hue rotation by factor*255 in uint8 hue units
-    (transforms.py:240-282), approximated in float HSV."""
-    x = img_bgr[..., ::-1] / 255.0  # to RGB [0,1]
-    mx = jnp.max(x, axis=-1); mn = jnp.min(x, axis=-1)
-    d = mx - mn
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
-    safe = jnp.where(d > 0, d, 1.0)
-    h = jnp.where(mx == r, (g - b) / safe % 6.0,
-                  jnp.where(mx == g, (b - r) / safe + 2.0,
-                            (r - g) / safe + 4.0)) / 6.0
-    h = jnp.where(d > 0, h, 0.0)
-    s = jnp.where(mx > 0, d / jnp.where(mx > 0, mx, 1.0), 0.0)
-    v = mx
-    h = (h + factor[:, None, None]) % 1.0
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1 - s); q = v * (1 - f * s); t = v * (1 - (1 - f) * s)
+    """PIL uint8-quantized HSV hue shift (transforms.py:240-282).
+
+    The reference wraps the ndarray in PIL, converts to the quantized
+    uint8 'HSV' mode, adds ``uint8(hue_factor * 255)`` to H with uint8
+    wraparound, and converts back — operating on the array's CHANNEL ORDER
+    as if it were RGB even though it holds BGR (same quirk as saturation).
+    Reproduced here at uint8 granularity in float32 (TPU has no float64):
+    the HSV->RGB leg is bit-exact vs PIL (tested exhaustively on sweeps +
+    random triples); the RGB->HSV hue can differ by +-1 uint8 hue unit on
+    ~0.8% of pixels where PIL's C double rounding crosses an integer
+    boundary — the final image is oracle-bounded in tests
+    (tests/test_augment.py::test_adjust_hue_vs_pil)."""
+    c0, c1, c2 = img_bgr[..., 0], img_bgr[..., 1], img_bgr[..., 2]
+    mx = jnp.maximum(c0, jnp.maximum(c1, c2))
+    mn = jnp.minimum(c0, jnp.minimum(c1, c2))
+    cr = mx - mn
+    safe = jnp.where(cr > 0, cr, 1.0)
+    rc = (mx - c0) / safe
+    gc = (mx - c1) / safe
+    bc = (mx - c2) / safe
+    h = jnp.where(mx == c0, bc - gc,
+                  jnp.where(mx == c1, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.mod(h / 6.0 + 1.0, 1.0)
+    uh = jnp.where(cr > 0, jnp.floor(h * 255.0), 0.0)
+    us = jnp.where(cr > 0,
+                   jnp.floor(cr / jnp.where(mx > 0, mx, 1.0) * 255.0), 0.0)
+    uv = mx
+
+    # np.uint8(hue_factor*255): trunc toward zero then wrap mod 256
+    shift = jnp.mod(jnp.trunc(factor * 255.0), 256.0)
+    uh = jnp.mod(uh + shift[:, None, None], 256.0)
+
+    # PIL hsv2rgb: h*6/255, floor/frac, p/q/t ROUNDED to nearest (bit-exact
+    # vs PIL's C implementation)
+    h6 = uh * jnp.float32(6.0 / 255.0)
+    i = jnp.floor(h6)
+    f = h6 - i
+    sf = us * jnp.float32(1.0 / 255.0)
+    p = jnp.round(uv * (1 - sf))
+    q = jnp.round(uv * (1 - sf * f))
+    t = jnp.round(uv * (1 - sf * (1 - f)))
+    vv = jnp.round(uv)
     i = i.astype(jnp.int32) % 6
-    r2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                    [v, q, p, p, t, v])
-    g2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                    [t, v, v, q, p, p])
-    b2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                    [p, p, t, v, v, q])
-    rgb = jnp.stack([r2, g2, b2], axis=-1)
-    return jnp.round(jnp.clip(rgb[..., ::-1] * 255.0, 0, 255))
+    o0 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                    [vv, q, p, p, t, vv])
+    o1 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                    [t, vv, vv, q, p, p])
+    o2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                    [p, p, t, vv, vv, q])
+    out = jnp.stack([o0, o1, o2], axis=-1)
+    # s == 0 (grayscale) short-circuits to v in PIL
+    return jnp.where((us == 0)[..., None], uv[..., None], out)
 
 
 def color_jitter(key: jax.Array, images: jax.Array, masks: jax.Array,
