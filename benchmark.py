@@ -29,7 +29,35 @@ if __name__ == "__main__":
                         help="epochs to iterate (reference: 500)")
     parser.add_argument("-synthetic", action="store_true", default=False,
                         help="use synthetic data (no dataset needed)")
+    parser.add_argument("-records", action="store_true", default=False,
+                        help="benchmark the record-store decode pipeline "
+                        "(the LMDB-parity path: native mmap store + "
+                        "cv2.imdecode per sample, legacy/camvid_lmdb.py)")
     args = parser.parse_args()
+
+    if args.records:
+        # host-side per-sample decode throughput over the record store
+        from pytorch_camvid_tpu.data.camvid_records import CamVidRecords
+        from pytorch_camvid_tpu.data.native import native_available
+        ds = CamVidRecords(args.data, image_set="train",
+                           image_size=settings.IMAGE_SIZE)
+        print(f"record store: {len(ds)} records, native lib: "
+              f"{native_available()}")
+        count, start = 0, time.time()
+        for epoch in range(args.epochs):
+            for i in range(len(ds)):
+                img, lab = ds[i]
+                count += 1
+                if count % 1000 == 0:
+                    t = time.time() - start
+                    print("total {} samples, total {:.2f}s, average "
+                          "{:.0f} samples/sec".format(count, t, count / t))
+            if time.time() - start > 60:
+                break
+        t = time.time() - start
+        print("total {} samples, total {:.2f}s, average {:.0f} samples/sec"
+              .format(count, t, count / t))
+        raise SystemExit(0)
 
     if args.synthetic:
         w, h = settings.IMAGE_SIZE

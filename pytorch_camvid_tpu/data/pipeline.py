@@ -94,41 +94,57 @@ class DeviceDataLoader:
 
 
 class HostLoader:
-    """Fallback for > HBM datasets: host arrays, double-buffered H2D."""
+    """Fallback for > HBM datasets: host arrays, double-buffered H2D.
+
+    The per-batch index gather runs through the native threaded gather
+    (native/loader.cpp via data.native.gather_batch; numpy fallback when
+    the toolchain is absent) — this is the DataLoader-worker replacement
+    for the host-fed path, reachable from the CLI via
+    ``train.py -loader host``."""
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
                  batch_size: int, shuffle: bool = False, seed: int = 0,
-                 sharding=None):
+                 drop_last: bool = False, sharding=None):
         self.images, self.labels = images, labels
         self.n = images.shape[0]
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
+        self.drop_last = drop_last
         self.sharding = sharding
         self._epoch = 0
 
     def __len__(self):
+        if self.drop_last:
+            return self.n // self.batch_size
         return (self.n + self.batch_size - 1) // self.batch_size
 
     def epoch(self, epoch: Optional[int] = None):
+        from pytorch_camvid_tpu.data.native import gather_batch
         e = self._epoch if epoch is None else epoch
         self._epoch = e + 1
         perm = (np.random.default_rng(self.seed + e).permutation(self.n)
                 if self.shuffle else np.arange(self.n))
+        stop = self.n - self.n % self.batch_size if self.drop_last \
+            else self.n
 
         def put(lo):
             idx = perm[lo: lo + self.batch_size]
-            im, lb = self.images[idx], self.labels[idx]
-            if self.sharding is not None:
+            im = gather_batch(self.images, idx)
+            lb = gather_batch(self.labels, idx)
+            if self.sharding is not None and \
+                    im.shape[0] % self.sharding.mesh.size == 0:
+                # ragged final batches stay unpinned — the consumer pads
+                # then pins (same contract as DeviceDataLoader)
                 return (jax.device_put(im, self.sharding),
                         jax.device_put(lb, self.sharding))
             return jnp.asarray(im), jnp.asarray(lb)
 
-        nxt = put(0) if self.n else None
-        for lo in range(0, self.n, self.batch_size):
+        nxt = put(0) if stop else None
+        for lo in range(0, stop, self.batch_size):
             cur = nxt
             nxt_lo = lo + self.batch_size
-            nxt = put(nxt_lo) if nxt_lo < self.n else None  # overlap H2D
+            nxt = put(nxt_lo) if nxt_lo < stop else None  # overlap H2D
             yield cur
 
     def __iter__(self):

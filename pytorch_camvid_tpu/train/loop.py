@@ -61,6 +61,10 @@ class TrainConfig:
     loss_ignore_index: Optional[int] = None  # reference default: None
     quiet: bool = False
     save_epoch: int = 10
+    # 'device': whole split HBM-resident, on-device batch gather (default);
+    # 'host': host-RAM arrays with the native threaded gather + double-
+    # buffered H2D (for splits larger than HBM; train.py -loader host)
+    loader: str = "device"
     # stop with a clear error when the loss goes NaN/Inf (SURVEY.md §5.3:
     # the reference's only fault detection is lr_finder's divergence stop)
     nan_guard: bool = True
@@ -158,12 +162,23 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
 
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
-    train_loader = DeviceDataLoader(train_ds.images, train_ds.labels,
-                                    cfg.batch_size, shuffle=True,
-                                    seed=cfg.seed, drop_last=True,
-                                    sharding=bsh)
-    val_loader = DeviceDataLoader(val_ds.images, val_ds.labels,
-                                  cfg.batch_size, sharding=bsh)
+    if cfg.loader == "host":
+        from pytorch_camvid_tpu.data.pipeline import HostLoader
+        train_loader = HostLoader(np.asarray(train_ds.images),
+                                  np.asarray(train_ds.labels),
+                                  cfg.batch_size, shuffle=True,
+                                  seed=cfg.seed, drop_last=True,
+                                  sharding=bsh)
+        val_loader = HostLoader(np.asarray(val_ds.images),
+                                np.asarray(val_ds.labels),
+                                cfg.batch_size, sharding=bsh)
+    else:
+        train_loader = DeviceDataLoader(train_ds.images, train_ds.labels,
+                                        cfg.batch_size, shuffle=True,
+                                        seed=cfg.seed, drop_last=True,
+                                        sharding=bsh)
+        val_loader = DeviceDataLoader(val_ds.images, val_ds.labels,
+                                      cfg.batch_size, sharding=bsh)
 
     steps_per_epoch = len(train_loader)
     if steps_per_epoch == 0:

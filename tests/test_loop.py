@@ -61,3 +61,34 @@ def test_evaluate_pads_ragged_final_batch():
     want = np.asarray(confusion_matrix(preds, jnp.asarray(ds.labels, jnp.int32),
                                        12, ignore_index=11))
     np.testing.assert_allclose(np.asarray(cm), want)
+
+
+def test_run_training_host_loader():
+    """-loader host: host-RAM arrays + native threaded gather + double-
+    buffered H2D produce the same training surface as the device loader."""
+    from pytorch_camvid_tpu.train.loop import TrainConfig, run_training
+
+    ds = _DS(6, seed=3)
+    cfg = TrainConfig(net="unet", batch_size=4, lr=1e-3, epochs=1,
+                      quiet=True, data_parallel=2, loader="host")
+    state, history = run_training(cfg, ds, _DS(3, seed=4))
+    assert len(history) == 1
+    assert np.isfinite(history[0]["miou"])
+    assert int(state.step) == 1  # 6 imgs, batch 4, drop_last -> 1 step
+
+
+def test_host_loader_drop_last_and_gather():
+    from pytorch_camvid_tpu.data.pipeline import HostLoader
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (7, 8, 8, 3), np.uint8)
+    labs = rng.integers(0, 12, (7, 8, 8), np.uint8)
+    ld = HostLoader(imgs, labs, 3, shuffle=True, seed=5, drop_last=True)
+    assert len(ld) == 2
+    batches = list(ld.epoch(0))
+    assert len(batches) == 2 and batches[0][0].shape == (3, 8, 8, 3)
+    # gathered contents match a numpy take over the same permutation
+    perm = np.random.default_rng(5 + 0).permutation(7)
+    np.testing.assert_array_equal(np.asarray(batches[0][0]),
+                                  imgs[perm[:3]])
+    np.testing.assert_array_equal(np.asarray(batches[1][1]),
+                                  labs[perm[3:6]])

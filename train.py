@@ -54,6 +54,11 @@ if __name__ == "__main__":
                         metavar=("W", "H"),
                         help="working size in cv2 (W, H) order; default "
                         "settings.IMAGE_SIZE = (480, 360)")
+    parser.add_argument("-loader", type=str, default="device",
+                        choices=["device", "host"],
+                        help="input pipeline: device = HBM-resident split "
+                        "(default); host = host-RAM + native threaded "
+                        "gather + double-buffered H2D (for > HBM splits)")
     args = parser.parse_args()
     image_size = (tuple(args.image_size) if args.image_size
                   else settings.IMAGE_SIZE)
@@ -90,7 +95,8 @@ if __name__ == "__main__":
         weight_decay=args.wd, resume=args.resume, seed=args.seed,
         compute_dtype=args.dtype, data_parallel=args.dp,
         checkpoint_dir=checkpoint_path, log_dir=log_dir, quiet=args.quiet,
-        save_epoch=settings.SAVE_EPOCH, loss_ignore_index=loss_ignore)
+        save_epoch=settings.SAVE_EPOCH, loss_ignore_index=loss_ignore,
+        loader=args.loader)
 
     logger = SummaryLogger(log_dir)
     try:
