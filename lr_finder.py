@@ -86,7 +86,7 @@ def lr_finder(loader, apply_fn, variables, *, start_lr, end_lr, num_it,
     return np.asarray(losses), np.asarray(lrs)
 
 
-def plot(loss, lr, skip_start=10, skip_end=5, image_name="lr_finder.jpeg"):
+def plot(loss, lr, skip_start=10, skip_end=5, image_name="lr_finder.jpg"):
     """Loss-vs-lr log-x curve (lr_finder.py:99-114)."""
     import matplotlib
     matplotlib.use("Agg")
