@@ -35,9 +35,9 @@ VERDICT.md round-1 weak #2):
 Training-mode BatchNorm needs global batch statistics of the conv output,
 which no single-pass tile kernel can produce; the training path therefore
 uses the XLA conv (ops/conv.py) and this kernel serves eval/predict/serving
-(enable with use_pallas=True on the model apply functions).
-``shift_stack`` is kept for the training-mode custom-VJP kernels
-(ops/pallas_conv_train.py).
+(enable with use_pallas=True on the model apply functions). The training
+custom-VJP kernels (ops/pallas_conv_train.py) reuse this kernel for their
+forward/dgrad and the same single-slab layout for dW.
 
 Hardware validation status: see HARDWARE.md (validation ledger).
 """
@@ -122,15 +122,6 @@ def _pick_tiles(h: int, wq: int, cin: int, cout: int, itemsize: int,
     return best, tile_co
 
 
-def shift_stack(x: jax.Array, wq: int) -> jax.Array:
-    """(3, N, H+2, wq, Cin) pre-stacked width shifts of the pad-1 input —
-    the layout the TRAINING conv kernels still consume
-    (ops/pallas_conv_train.py). The serving kernel below no longer needs it."""
-    n, h, w_sp, cin = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wq + 1 - w_sp), (0, 0)))
-    return jnp.stack([xp[:, :, d: d + wq, :] for d in range(3)])
-
-
 def fold_bn_affine(params, state) -> Tuple[jax.Array, jax.Array]:
     """Fold conv bias + BN running stats into (A, B) per channel."""
     inv = jax.lax.rsqrt(state["var"] + BN_EPS)
@@ -140,7 +131,8 @@ def fold_bn_affine(params, state) -> Tuple[jax.Array, jax.Array]:
 
 
 def _conv_kernel(x_hbm, w_ref, ab_ref, out_ref, xs, xsh, sem, *,
-                 tile_h: int, wq: int, cin: int, n_i: int, slab: int):
+                 tile_h: int, wq: int, cin: int, n_i: int, slab: int,
+                 relu: bool = True):
     """Single-slab conv tap loop; see module docstring.
 
     x_hbm: (N, (H+3)*WQ, Cin) flat padded input in ANY/HBM space.
@@ -189,18 +181,19 @@ def _conv_kernel(x_hbm, w_ref, ab_ref, out_ref, xs, xsh, sem, *,
                            preferred_element_type=jnp.float32)
     a = ab_ref[0]  # (tile_co,)
     b = ab_ref[1]
-    y = jnp.maximum(acc * a + b, 0.0)
+    y = acc * a + b
+    if relu:
+        y = jnp.maximum(y, 0.0)
     out_ref[0] = y.reshape(tile_h, wq, tile_co).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile_h", "tile_co"))
-def conv3x3_bn_relu_pallas(x: jax.Array, w: jax.Array, a: jax.Array,
-                           b: jax.Array, interpret: bool = False,
-                           tile_h: int = 0, tile_co: int = 0):
-    """Fused conv3x3(pad1)+affine+ReLU. x: (N,H,W,Cin) bf16/f32;
-    w: (3,3,Cin,Cout); a,b: (Cout,) f32. Returns (N,H,W,Cout) in x.dtype.
-    tile_h/tile_co override the VMEM-model tile picker (0 = auto)."""
+def _conv3x3_impl(x: jax.Array, w: jax.Array, a: jax.Array,
+                  b: jax.Array, interpret: bool = False,
+                  tile_h: int = 0, tile_co: int = 0,
+                  relu: bool = True):
+    """Unjitted kernel invocation (the public wrapper jits it; the training
+    forward in ops/pallas_conv_train.py calls this directly so it traces
+    inside the caller's jit)."""
     n, h, w_sp, cin = x.shape
     cout = w.shape[-1]
     dtype = x.dtype
@@ -233,7 +226,7 @@ def conv3x3_bn_relu_pallas(x: jax.Array, w: jax.Array, a: jax.Array,
     ab = jnp.stack([a, b]).astype(jnp.float32)  # (2, Cout)
 
     kernel = functools.partial(_conv_kernel, tile_h=tile_h, wq=wq, cin=cin,
-                               n_i=n_i, slab=slab)
+                               n_i=n_i, slab=slab, relu=relu)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -266,6 +259,22 @@ def conv3x3_bn_relu_pallas(x: jax.Array, w: jax.Array, a: jax.Array,
     # columns 0..W-1 are the valid outputs (the tap offsets already index
     # the left-padded slab); the rest is right-pad garbage
     return out[:, :, :w_sp, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile_h", "tile_co",
+                                    "relu"))
+def conv3x3_bn_relu_pallas(x: jax.Array, w: jax.Array, a: jax.Array,
+                           b: jax.Array, interpret: bool = False,
+                           tile_h: int = 0, tile_co: int = 0,
+                           relu: bool = True):
+    """Fused conv3x3(pad1)+affine+ReLU. x: (N,H,W,Cin) bf16/f32;
+    w: (3,3,Cin,Cout); a,b: (Cout,) f32. Returns (N,H,W,Cout) in x.dtype.
+    tile_h/tile_co override the VMEM-model tile picker (0 = auto);
+    relu=False skips the clamp (the training forward reuses this kernel
+    with a=1, b=0 — ops/pallas_conv_train.py)."""
+    return _conv3x3_impl(x, w, a, b, interpret=interpret, tile_h=tile_h,
+                         tile_co=tile_co, relu=relu)
 
 
 def conv_bn_relu_apply_pallas(params, state, x: jax.Array,
