@@ -87,3 +87,26 @@ def test_nan_guard_trips():
                       quiet=True, checkpoint_dir=None, data_parallel=1)
     with pytest.raises(FloatingPointError):
         run_training(cfg, ds, ds)
+
+
+def test_bench_flop_model_and_shapes():
+    """bench.py's analytic FLOP model and perf_probe's shape inventory stay
+    consistent with the models (pure python, no device work)."""
+    import bench
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    from tools.perf_probe import unet_conv_shapes
+
+    u = bench._conv_fwd_flops("unet")
+    s = bench._conv_fwd_flops("segnet")
+    # documented values (bench.py docstring / PERF.md)
+    assert abs(u / 1e9 - 346.0) < 1.0, u
+    assert abs(s / 1e9 - 212.8) < 1.0, s
+
+    shapes = unet_conv_shapes()
+    assert sum(shapes.values()) == 23  # 23 conv blocks in UNet
+    # the probe inventory's flops agree with the bench model
+    total = sum(2.0 * 9.0 * ci * co * h * w * mult
+                for (h, w, ci, co), mult in shapes.items())
+    assert abs(total - u) / u < 1e-6
