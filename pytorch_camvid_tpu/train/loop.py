@@ -256,9 +256,36 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
     history = []
     n_train = train_ds.images.shape[0]
 
+    # graceful preemption: on SIGTERM save an emergency checkpoint and
+    # return, so `-resume` restarts from it instead of losing the run
+    # (SURVEY.md §5.3: the reference's only recovery is manual -resume
+    # from the last cadence checkpoint). The resumed run redoes the
+    # interrupted epoch's remaining batches; optimizer/schedule state is
+    # step-exact either way.
+    import signal
+    stop = {"flag": False}
+    prev_handler = None
+    try:
+        prev_handler = signal.signal(
+            signal.SIGTERM, lambda *_: stop.update(flag=True))
+    except ValueError:
+        pass  # not the main thread (e.g. under a test runner)
+
     for epoch in range(trained_epochs + 1, cfg.epochs + 1):
         start = time.time()
         for batch_idx, batch in enumerate(train_loader.epoch(epoch - 1)):
+            if stop["flag"]:
+                if prev_handler is not None:
+                    signal.signal(signal.SIGTERM, prev_handler)
+                if cfg.checkpoint_dir:
+                    save_checkpoint(
+                        checkpoint_name(cfg.checkpoint_dir, epoch - 1,
+                                        "regular"),
+                        state, {"epoch": epoch - 1, "net": cfg.net,
+                                "preempted_in_epoch": epoch})
+                    print(f"SIGTERM: saved preemption checkpoint "
+                          f"{epoch - 1}-regular; resume with -resume")
+                return state, history
             state, metrics = train_step(state, batch)
             # in quiet mode only sync the loss every 16 steps so the guard
             # does not serialize dispatch against the device
@@ -314,4 +341,6 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                 save_checkpoint(checkpoint_name(cfg.checkpoint_dir, epoch,
                                                 "regular"), state, meta)
 
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
     return state, history

@@ -145,3 +145,39 @@ def test_color_jitter_random_order():
                            random_order=True)
     want1 = np.asarray(_adjust_brightness(x, fb))
     np.testing.assert_array_equal(np.asarray(out1), want1)
+
+
+def test_sigterm_saves_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-run saves an emergency checkpoint and exits cleanly, so
+    -resume restarts from it (graceful preemption; SURVEY.md §5.3)."""
+    import glob, os, signal, subprocess, sys, time
+    from pytorch_camvid_tpu.data.synthetic import write_synthetic_camvid
+    write_synthetic_camvid(str(tmp_path), n_train=4, n_val=2, hw=(48, 64))
+    (tmp_path / "sitecustomize.py").write_text(
+        "import jax\njax.config.update('jax_platforms', 'cpu')\n")
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               PYTHONPATH=f"{tmp_path}:/root/repo")
+    p = subprocess.Popen(
+        [sys.executable, "/root/repo/train.py", "-net", "unet", "-b", "2",
+         "-e", "500", "-data", str(tmp_path), "-image_size", "64", "48",
+         "-dp", "1"],
+        env=env, cwd=str(tmp_path), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    # wait until training is demonstrably inside the epoch loop
+    deadline = time.time() + 300
+    seen = ""
+    while time.time() < deadline:
+        line = p.stdout.readline()
+        seen += line
+        if "Training Epoch:2" in line:
+            break
+    else:
+        p.kill()
+        raise AssertionError(f"never reached epoch 2:\n{seen[-2000:]}")
+    p.send_signal(signal.SIGTERM)
+    out, _ = p.communicate(timeout=300)
+    assert p.returncode == 0, out[-2000:]
+    assert "saved preemption checkpoint" in out
+    cks = glob.glob(str(tmp_path / "checkpoints" / "*" / "*-regular*"))
+    assert cks, "no preemption checkpoint written"

@@ -215,3 +215,35 @@ def test_unet_parity_vs_reference_source():
 
 def test_segnet_parity_vs_reference_source():
     _reference_forward_parity("segnet", "SegNet", "segnet")
+
+
+def test_export_torch_cli_roundtrip(tmp_path):
+    """tools/export_torch.py writes a .pth that loads STRICTLY into the
+    reference model class and round-trips through our own .pth loader."""
+    import subprocess, sys
+    from pytorch_camvid_tpu.train import TrainState, adamw
+    from pytorch_camvid_tpu.train.checkpoint import save_checkpoint
+
+    init_fn, apply_fn = get_model("unet", 3, 12)
+    variables = init_fn(jax.random.PRNGKey(1))
+    state = TrainState.create(variables, adamw())
+    ck = str(tmp_path / "7-best.ckpt.npz")
+    save_checkpoint(ck, state, meta={"epoch": 7, "miou": 0.9})
+
+    out = str(tmp_path / "7-best.pth")
+    r = subprocess.run([sys.executable, "/root/repo/tools/export_torch.py",
+                        "-weight", ck, "-net", "unet", "-out", out],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-1000:]
+
+    # strict load into the actual reference class (skips if unavailable)
+    ref = _import_reference("unet")
+    net = ref.UNet(3, 12)
+    net.load_state_dict(torch.load(out, weights_only=True), strict=True)
+
+    # and back through our .pth loader: bit-identical params
+    from pytorch_camvid_tpu.interop import load_torch_checkpoint
+    v2 = load_torch_checkpoint(out, "unet", init_fn(jax.random.PRNGKey(2)))
+    for a, b in zip(jax.tree.leaves(variables["params"]),
+                    jax.tree.leaves(v2["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
