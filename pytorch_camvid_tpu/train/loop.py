@@ -65,6 +65,9 @@ class TrainConfig:
     # 'host': host-RAM arrays with the native threaded gather + double-
     # buffered H2D (for splits larger than HBM; train.py -loader host)
     loader: str = "device"
+    # split each batch into this many sequential microbatches (lax.scan):
+    # ~grad_accum-fold lower activation memory at the same effective batch
+    grad_accum: int = 1
     # stop with a clear error when the loss goes NaN/Inf (SURVEY.md §5.3:
     # the reference's only fault detection is lr_finder's divergence stop)
     nan_guard: bool = True
@@ -207,7 +210,8 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
     step = make_train_step(apply_fn, opt, onecycle_lr(cfg.lr, total_steps),
                            onecycle_beta1(total_steps), class_weights=cw,
                            ignore_index=loss_ignore,
-                           augment_fn=augment, compute_dtype=dtype)
+                           augment_fn=augment, compute_dtype=dtype,
+                           grad_accum=cfg.grad_accum)
     train_step = jit_train_step(step, mesh)
     # the eval loss must drop the ragged-batch pad sentinel 255 AND whatever
     # the training loss ignores, so Test/Loss measures the same objective

@@ -49,12 +49,32 @@ def make_train_step(apply_fn, optimizer, lr_schedule,
                     augment_fn: Optional[Callable] = None,
                     axis_name: Optional[str] = None,
                     compute_dtype=jnp.float32,
-                    log_grad_norms: bool = True):
+                    log_grad_norms: bool = True,
+                    grad_accum: int = 1):
     """Build a pure train step: (state, (images, labels)) -> (state, metrics).
 
     images: float NHWC already normalized, or raw uint8 if augment_fn is
     given (augment_fn(key, images_u8, labels) -> (images_f32, labels)).
+
+    grad_accum > 1 splits the batch into that many microbatches and runs
+    them through a ``lax.scan`` (activation memory drops ~grad_accum-fold),
+    averaging gradients/losses before the single optimizer update — the
+    standard large-effective-batch recipe. BatchNorm normalizes each
+    microbatch by its own statistics and the running stats are threaded
+    through the scan (the same semantics torch exhibits when calling
+    ``backward`` per microbatch and ``step`` once).
     """
+
+    def _grad_one(params, bn_state, images, labels):
+        def loss_fn(p):
+            logits, new_bn = apply_fn(
+                {"params": p, "state": bn_state}, images,
+                train=True, axis_name=axis_name,
+                compute_dtype=compute_dtype)
+            loss = cross_entropy_loss(logits, labels, class_weights,
+                                      ignore_index)
+            return loss, new_bn
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
     def step_fn(state: TrainState, batch):
         images, labels = batch
@@ -66,16 +86,32 @@ def make_train_step(apply_fn, optimizer, lr_schedule,
             images, labels = augment_fn(key, images, labels)
         labels = labels.astype(jnp.int32)
 
-        def loss_fn(params):
-            logits, new_bn = apply_fn(
-                {"params": params, "state": state.bn_state}, images,
-                train=True, axis_name=axis_name, compute_dtype=compute_dtype)
-            loss = cross_entropy_loss(logits, labels, class_weights,
-                                      ignore_index)
-            return loss, new_bn
+        if grad_accum > 1:
+            n = images.shape[0]
+            assert n % grad_accum == 0, (
+                f"batch {n} must divide grad_accum {grad_accum}")
+            mb = n // grad_accum
+            im_s = images.reshape((grad_accum, mb) + images.shape[1:])
+            lb_s = labels.reshape((grad_accum, mb) + labels.shape[1:])
 
-        (loss, new_bn), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            def scan_body(carry, xs):
+                bn, acc_loss, acc_grads = carry
+                mb_im, mb_lb = xs
+                (loss, new_bn), grads = _grad_one(state.params, bn,
+                                                  mb_im, mb_lb)
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                return (new_bn, acc_loss + loss, acc_grads), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (new_bn, loss, grads), _ = jax.lax.scan(
+                scan_body, (state.bn_state, jnp.float32(0.0), zero_grads),
+                (im_s, lb_s))
+            inv = 1.0 / grad_accum
+            loss = loss * inv
+            grads = jax.tree.map(lambda g: g * inv, grads)
+        else:
+            (loss, new_bn), grads = _grad_one(state.params, state.bn_state,
+                                              images, labels)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)

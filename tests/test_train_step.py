@@ -101,3 +101,38 @@ def test_checkpoint_roundtrip_step_exact(tmp_path):
                                rtol=1e-7)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_grad_accum_matches_full_batch_on_duplicates():
+    """With the batch = two identical halves, each microbatch's BN stats
+    equal the full-batch stats, so grad_accum=2 must match the plain step
+    numerically (grads averaged, one optimizer update)."""
+    from pytorch_camvid_tpu.train import sgd
+    x, y, variables, apply_fn = _setup("unet", hw=(32, 32), n=2)
+    x2 = jnp.concatenate([x, x]); y2 = jnp.concatenate([y, y])
+    # SGD: Adam's step-1 update is ~sign(g), which amplifies benign
+    # reduction-order noise (same rationale as the shard_map DP tests)
+    opt = sgd()
+    lr = lambda s: jnp.float32(1e-3)
+    plain = jax.jit(make_train_step(apply_fn, opt, lr, log_grad_norms=False))
+    accum = jax.jit(make_train_step(apply_fn, opt, lr, log_grad_norms=False,
+                                    grad_accum=2))
+    s1 = TrainState.create(variables, opt)
+    s2 = TrainState.create(variables, opt)
+    s1, m1 = plain(s1, (x2, y2))
+    s2, m2 = accum(s2, (x2, y2))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        # f32 reduction-order noise through conv bwd; semantics, not bits
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_grad_accum_trains_end_to_end():
+    from pytorch_camvid_tpu.train.loop import TrainConfig, run_training
+    from tests.test_loop import _DS
+    ds = _DS(8, seed=9)
+    cfg = TrainConfig(net="unet", batch_size=4, lr=1e-3, epochs=1,
+                      quiet=True, data_parallel=2, grad_accum=2)
+    state, history = run_training(cfg, ds, _DS(2, seed=10))
+    assert np.isfinite(history[0]["miou"])

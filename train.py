@@ -54,6 +54,9 @@ if __name__ == "__main__":
                         metavar=("W", "H"),
                         help="working size in cv2 (W, H) order; default "
                         "settings.IMAGE_SIZE = (480, 360)")
+    parser.add_argument("-accum", type=int, default=1,
+                        help="gradient-accumulation microbatches per step "
+                        "(batch must divide; lowers activation memory)")
     parser.add_argument("-loader", type=str, default="device",
                         choices=["device", "host"],
                         help="input pipeline: device = HBM-resident split "
@@ -96,7 +99,7 @@ if __name__ == "__main__":
         compute_dtype=args.dtype, data_parallel=args.dp,
         checkpoint_dir=checkpoint_path, log_dir=log_dir, quiet=args.quiet,
         save_epoch=settings.SAVE_EPOCH, loss_ignore_index=loss_ignore,
-        loader=args.loader)
+        loader=args.loader, grad_accum=args.accum)
 
     logger = SummaryLogger(log_dir)
     try:
