@@ -277,6 +277,38 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
 
     for epoch in range(trained_epochs + 1, cfg.epochs + 1):
         start = time.time()
+
+        # per-batch console/TB reporting runs ONE step behind the device:
+        # syncing step t's loss before dispatching t+1 serializes dispatch
+        # against the (remote) device and costs ~3x wall-time per epoch;
+        # printing t-1's line while t executes keeps the exact reference
+        # console surface (train.py:136-144) with the sync overlapped.
+        pending = None  # (batch_idx, seen, metrics) awaiting print
+
+        def report(item):
+            b_idx, seen, m = item
+            # ONE device->host transfer for all metric scalars: each
+            # float() is a separate round-trip (expensive through a
+            # remote-attached device)
+            keys = list(m.keys())
+            vals = np.asarray(jnp.stack([m[k] for k in keys]))
+            m = {k: float(v) for k, v in zip(keys, vals)}
+            loss = m["loss"]
+            if cfg.nan_guard and not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"loss diverged to {loss} at epoch {epoch} step "
+                    f"{b_idx} — lower the lr or inspect the data (NaN "
+                    "guard; disable with nan_guard=False)")
+            if not cfg.quiet:
+                print("Training Epoch:{epoch} [{seen}/{total}] "
+                      "Lr:{lr:0.6f} Loss:{loss:0.4f} Beta1:{beta:0.4f}"
+                      .format(epoch=epoch, seen=seen, total=n_train,
+                              lr=float(m["lr"]), loss=loss,
+                              beta=float(m["beta1"])))
+            if logger is not None:
+                n_iter = (epoch - 1) * steps_per_epoch + b_idx + 1
+                logger.last_layer_grad_norms(m, n_iter)
+
         for batch_idx, batch in enumerate(train_loader.epoch(epoch - 1)):
             if stop["flag"]:
                 if prev_handler is not None:
@@ -291,26 +323,16 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                           f"{epoch - 1}-regular; resume with -resume")
                 return state, history
             state, metrics = train_step(state, batch)
-            # in quiet mode only sync the loss every 16 steps so the guard
-            # does not serialize dispatch against the device
-            if cfg.nan_guard and (not cfg.quiet or batch_idx % 16 == 0) \
-                    and not np.isfinite(float(metrics["loss"])):
-                raise FloatingPointError(
-                    f"loss diverged to {float(metrics['loss'])} at epoch "
-                    f"{epoch} step {batch_idx} — lower the lr or inspect "
-                    "the data (NaN guard; disable with nan_guard=False)")
-            if not cfg.quiet:
-                print("Training Epoch:{epoch} [{seen}/{total}] "
-                      "Lr:{lr:0.6f} Loss:{loss:0.4f} Beta1:{beta:0.4f}"
-                      .format(epoch=epoch,
-                              seen=batch_idx * cfg.batch_size
-                              + batch[0].shape[0],
-                              total=n_train, lr=float(metrics["lr"]),
-                              loss=float(metrics["loss"]),
-                              beta=float(metrics["beta1"])))
-            if logger is not None:
-                n_iter = (epoch - 1) * steps_per_epoch + batch_idx + 1
-                logger.last_layer_grad_norms(metrics, n_iter)
+            if pending is not None:
+                # step batch_idx is already dispatched; syncing batch_idx-1
+                # here overlaps with it instead of stalling the device
+                report(pending)
+            pending = (batch_idx,
+                       batch_idx * cfg.batch_size + batch[0].shape[0],
+                       metrics)
+        if pending is not None:
+            report(pending)
+            metrics = pending[2]
         if logger is not None:
             logger.scalar("Train/LearningRate", metrics["lr"], epoch)
             logger.scalar("Train/Beta1", metrics["beta1"], epoch)
