@@ -37,8 +37,10 @@ import numpy as np
 P100_IMAGES_PER_SEC_EST = 3.6  # see module docstring
 
 
-def _bf16_peak_flops(device) -> float:
-    """Peak bf16 FLOP/s by device kind (public TPU specs)."""
+def _bf16_peak_flops(device):
+    """Peak bf16 FLOP/s by device kind (public TPU specs). Returns None for
+    unrecognized kinds (e.g. CPU) — MFU against a guessed peak is
+    meaningless, so callers emit mfu=null instead (ADVICE r2)."""
     kind = getattr(device, "device_kind", "").lower()
     table = [
         ("v5 lite", 197e12), ("v5e", 197e12),
@@ -49,7 +51,11 @@ def _bf16_peak_flops(device) -> float:
     for sub, peak in table:
         if sub in kind:
             return peak
-    return 197e12  # default to the smallest current chip (conservative)
+    return None
+
+
+def _mfu(ips: float, flops_per_image: float, peak) -> float:
+    return None if peak is None else round(ips * flops_per_image / peak, 4)
 
 
 def _conv_fwd_flops(net: str, hw=(360, 480), num_classes: int = 12) -> float:
@@ -136,9 +142,19 @@ def measure_train(net: str = "unet", batch_size: int = 24, steps: int = 100,
     fused = jax.jit(fused, donate_argnums=(0,))
     state = TrainState.create(variables, opt)
 
+    # batch indices follow the real loader's contract (DeviceDataLoader):
+    # a fresh host-side epoch permutation, consumed without replacement —
+    # so the measured path pays the same per-epoch bookkeeping train.py does
     rng = np.random.default_rng(0)
+    pos = [0, rng.permutation(n_data)]  # cursor, current permutation
+
     def idx():
-        return jnp.asarray(rng.integers(0, n_data, size=batch_size))
+        lo, perm = pos
+        if lo + batch_size > len(perm):  # drop_last, like the train loader
+            perm = rng.permutation(n_data)
+            lo = 0
+        pos[0], pos[1] = lo + batch_size, perm
+        return jnp.asarray(perm[lo: lo + batch_size])
 
     for _ in range(warmup):
         state, metrics = fused(state, d_images, d_labels, idx())
@@ -157,7 +173,7 @@ def measure_train(net: str = "unet", batch_size: int = 24, steps: int = 100,
     peak = _bf16_peak_flops(jax.devices()[0])
     return {
         "images_per_sec": round(ips, 2),
-        "mfu": round(ips * flops_per_image / peak, 4),
+        "mfu": _mfu(ips, flops_per_image, peak),
         "step_ms": round(1000.0 * dt / steps, 2),
         "train_tflop_per_image": round(flops_per_image / 1e12, 4),
     }
@@ -203,9 +219,9 @@ def measure_serving(net: str = "unet", batch_size: int = 24,
     peak = _bf16_peak_flops(jax.devices()[0])
     return {
         "images_per_sec": round(ips, 2),
-        "mfu": round(ips * flops_per_image / peak, 4),
+        "mfu": _mfu(ips, flops_per_image, peak),
         "images_per_sec_compute_only": round(ips_compute, 2),
-        "mfu_compute_only": round(ips_compute * flops_per_image / peak, 4),
+        "mfu_compute_only": _mfu(ips_compute, flops_per_image, peak),
     }
 
 

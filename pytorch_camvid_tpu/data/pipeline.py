@@ -89,6 +89,22 @@ class DeviceDataLoader:
                 lb = jax.device_put(lb, self._sharding)
             yield (im, lb)
 
+    def epoch_indices(self, epoch: Optional[int] = None) -> np.ndarray:
+        """The epoch's batch-index plan as a (steps, batch) int array —
+        the same permutation ``epoch()`` would consume, for callers that
+        fuse the gather into a chained (lax.scan) dispatch instead of
+        gathering per batch (train/loop.py). Full batches only (the ragged
+        tail, when drop_last=False, is not chainable at a fixed shape)."""
+        e = self._epoch if epoch is None else epoch
+        self._epoch = e + 1
+        if self.shuffle:
+            perm = np.random.default_rng(self.seed + e).permutation(self.n)
+        else:
+            perm = np.arange(self.n)
+        steps = self.n // self.batch_size
+        return perm[: steps * self.batch_size].reshape(
+            steps, self.batch_size)
+
     def __iter__(self):
         return self.epoch()
 

@@ -4,7 +4,7 @@ from pytorch_camvid_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS, MODEL_AXIS, make_mesh, make_multislice_mesh, batch_sharding,
     replicated_sharding)
 from pytorch_camvid_tpu.parallel.data_parallel import (  # noqa: F401
-    jit_train_step, jit_eval_step, shard_batch)
+    jit_train_step, jit_chain_train_step, jit_eval_step, shard_batch)
 from pytorch_camvid_tpu.parallel.shard_map_dp import (  # noqa: F401
     shard_map_train_step, shard_map_eval_step)
 from pytorch_camvid_tpu.parallel.spatial import (  # noqa: F401

@@ -75,17 +75,26 @@ class Predictor:
         """images: (N, H, W, 3) uint8 BGR, any H/W (resized on device).
         Returns (N, h, w) uint8 class maps at the working size.
 
-        All chunks are DISPATCHED first (JAX dispatch is async), then the
-        results are drained — so chunk t+1's H2D + compute overlap chunk t's
-        D2H instead of serializing per chunk, which is what made forward-only
-        serving slower than training through a remote device tunnel."""
+        Chunks are dispatched ahead of the drain (JAX dispatch is async) so
+        chunk t+1's H2D + compute overlap chunk t's D2H instead of
+        serializing per chunk — which is what made forward-only serving
+        slower than training through a remote device tunnel. The in-flight
+        window is bounded (3 chunks) so device memory stays O(batch) however
+        large the request is."""
         n = images.shape[0]
         h, w = self._hw
         if images.shape[1:3] != (h, w):
             x = jnp.asarray(images, jnp.float32)
             x = resize_bilinear_cv2(x, (h, w))
             images = np.asarray(jnp.round(jnp.clip(x, 0, 255)), np.uint8)
+        max_inflight = 3
         inflight = []
+        out = []
+
+        def drain_one():
+            preds, keep = inflight.pop(0)
+            out.append(np.asarray(preds)[:keep])
+
         for lo in range(0, n, self._batch):
             chunk = images[lo: lo + self._batch]
             keep = len(chunk)
@@ -93,7 +102,10 @@ class Predictor:
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)])
+            if len(inflight) >= max_inflight:
+                drain_one()
             inflight.append(
                 (self._forward(self._variables, jnp.asarray(chunk)), keep))
-        out = [np.asarray(preds)[:keep] for preds, keep in inflight]
+        while inflight:
+            drain_one()
         return np.concatenate(out) if out else np.zeros((0, h, w), np.uint8)

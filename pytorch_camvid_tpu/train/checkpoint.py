@@ -79,7 +79,9 @@ def load_checkpoint(path: str, like: Any, sharding=None):
 
 
 def checkpoint_name(folder: str, epoch: int, kind: str) -> str:
-    """checkpoints/<run>/<epoch>-{best|regular}.ckpt.npz (train.py:42)."""
+    """checkpoints/<run>/<epoch>-{best|regular|preempt}.ckpt.npz
+    (train.py:42; 'preempt' is ours — the SIGTERM mid-epoch save gets its
+    own name so it can never overwrite a clean end-of-epoch checkpoint)."""
     return os.path.join(folder, f"{epoch}-{kind}{SUFFIX}")
 
 
@@ -91,16 +93,19 @@ def get_weight_path(checkpoint_root: str) -> str:
     files = glob.glob(os.path.join(checkpoint_root, "*", "*" + SUFFIX))
     # also accept reference-style .pth names for directory-layout parity
     files += glob.glob(os.path.join(checkpoint_root, "*", "*.pth"))
-    candidates = [f for f in files
-                  if re.search(r"[0-9]+-(best|regular)\.", os.path.basename(f))]
+    candidates = [
+        f for f in files
+        if re.search(r"[0-9]+-(best|regular|preempt)\.", os.path.basename(f))]
     if not candidates:
         return ""
     return max(candidates, key=os.path.getmtime)
 
 
 def parse_epoch(weight_path: str) -> int:
-    """Epoch from a '<epoch>-{best|regular}' filename (train.py:112-113)."""
-    m = re.search(r"([0-9]+)-(best|regular)\.", os.path.basename(weight_path))
+    """Epoch from a '<epoch>-{best|regular|preempt}' filename
+    (train.py:112-113)."""
+    m = re.search(r"([0-9]+)-(best|regular|preempt)\.",
+                  os.path.basename(weight_path))
     if not m:
         raise ValueError(f"cannot parse epoch from {weight_path}")
     return int(m.group(1))

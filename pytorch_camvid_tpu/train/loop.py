@@ -71,6 +71,18 @@ class TrainConfig:
     # stop with a clear error when the loss goes NaN/Inf (SURVEY.md §5.3:
     # the reference's only fault detection is lr_finder's divergence stop)
     nan_guard: bool = True
+    # act as if SIGTERM arrived after exactly this many applied batches:
+    # deterministic preemption for bounded smoke runs and for testing the
+    # mid-epoch step-exact resume path (None = only real SIGTERM stops)
+    stop_after_batches: Optional[int] = None
+    # dispatch this many train steps per host round-trip: the batch gather
+    # + step are chained in ONE lax.scan XLA program over per-step index
+    # vectors (the HBM-resident pipeline's design point). 1 = one dispatch
+    # per step like the reference loop (train.py:122-144) — which through a
+    # remote-attached device runs ~2.7x slower than the compute floor.
+    # Identical semantics either way (numerics to float reduction order);
+    # device loader only.
+    dispatch_chain: int = 8
 
 
 def _dtype(name: str):
@@ -100,15 +112,24 @@ def evaluate(state, eval_fn, loader: DeviceDataLoader, normalize,
     number of *batches* (eval.py:68: test_loss / len(valid_loader)) — callers
     divide ``batch_loss_sum / n_batches`` to match.
 
+    TPU-native pipelining (VERDICT r2 weak #3): the loss sum and confusion
+    matrix accumulate ON DEVICE across the epoch and cross to the host
+    ONCE at the end — per-batch ``float(loss)`` syncs serialized every
+    dispatch against a (remote) device and were pure round-trip tax. The
+    eval epoch is one async dispatch stream.
+
+    The device accumulator is int32: per-batch cells are exact small counts
+    and int32 addition stays exact to 2^31 pixels per cell (float32 would
+    round past 2^24 — e.g. VOC val is ~271M pixels); the host converts the
+    final matrix to float64.
+
     Final ragged batches are padded with label-255 sentinels which the
     confusion matrix and (ignore-aware) loss both drop; under data
     parallelism the padded batch is pinned to ``sharding``.
     """
-    total_loss = 0.0
+    loss_sum = None
+    cm_sum = None
     n_batches = 0
-    # accumulate on host in float64: per-cell counts can exceed float32's
-    # 2^24 integer range on large splits (e.g. VOC: ~271M pixels)
-    cm_total = None
     for images, labels in loader.epoch(0):
         if images.shape[0] != batch_size:
             images, labels = _pad_batch(images, labels.astype(jnp.int32),
@@ -118,11 +139,14 @@ def evaluate(state, eval_fn, loader: DeviceDataLoader, normalize,
                 labels = jax.device_put(labels, sharding)
         x = normalize(images)
         loss, cm = eval_fn(state, (x, labels.astype(jnp.int32)))
-        total_loss += float(loss)
+        cm = cm.astype(jnp.int32)
+        loss_sum = loss if loss_sum is None else loss_sum + loss
+        cm_sum = cm if cm_sum is None else cm_sum + cm
         n_batches += 1
-        cm = np.asarray(cm, np.float64)
-        cm_total = cm if cm_total is None else cm_total + cm
-    return total_loss, cm_total, n_batches
+    if n_batches == 0:
+        return 0.0, None, 0
+    # the epoch's single device->host transfer
+    return float(loss_sum), np.asarray(cm_sum).astype(np.float64), n_batches
 
 
 def print_epoch_metrics(cm: np.ndarray, class_names: Sequence[str],
@@ -212,7 +236,11 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                            ignore_index=loss_ignore,
                            augment_fn=augment, compute_dtype=dtype,
                            grad_accum=cfg.grad_accum)
-    train_step = jit_train_step(step, mesh)
+    use_chain = cfg.dispatch_chain > 1 and cfg.loader == "device"
+    if use_chain:
+        from pytorch_camvid_tpu.parallel import jit_chain_train_step
+        chain_step = jit_chain_train_step(step, mesh)
+    train_step = jit_train_step(step, mesh) if not use_chain else None
     # the eval loss must drop the ragged-batch pad sentinel 255 AND whatever
     # the training loss ignores, so Test/Loss measures the same objective
     eval_loss_ignore = {255} | ({loss_ignore} if loss_ignore is not None
@@ -227,6 +255,8 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
     state = jax.device_put(state, rep)
 
     trained_epochs = 0
+    resume_epoch = 0      # epoch a preemption interrupted (0 = none)
+    resume_skip = 0       # batches of that epoch already applied
     if cfg.resume and cfg.checkpoint_dir:
         import os
         weight_path = get_weight_path(os.path.dirname(cfg.checkpoint_dir))
@@ -254,18 +284,23 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                                               sharding=rep)
                 trained_epochs = meta.get("epoch",
                                           parse_epoch(weight_path))
+                # mid-epoch preemption save: resume the interrupted epoch
+                # at the first un-applied batch — the loader permutation is
+                # seed+epoch deterministic, and state.step was saved exactly,
+                # so this is step-exact (no schedule double-stepping)
+                resume_epoch = meta.get("preempted_in_epoch", 0)
+                resume_skip = meta.get("resume_batch_idx", 0)
             print("Done loading!")
 
     best_iou = 0.0  # NOT reset per epoch (fixes SURVEY.md §2.5.4)
     history = []
     n_train = train_ds.images.shape[0]
 
-    # graceful preemption: on SIGTERM save an emergency checkpoint and
-    # return, so `-resume` restarts from it instead of losing the run
-    # (SURVEY.md §5.3: the reference's only recovery is manual -resume
-    # from the last cadence checkpoint). The resumed run redoes the
-    # interrupted epoch's remaining batches; optimizer/schedule state is
-    # step-exact either way.
+    # graceful preemption: on SIGTERM save an emergency checkpoint under a
+    # distinct '<epoch>-preempt' name (never clobbers a clean end-of-epoch
+    # save) recording the first un-applied batch index, so `-resume`
+    # restarts step-exactly mid-epoch (SURVEY.md §5.3: the reference's only
+    # recovery is manual -resume from the last cadence checkpoint).
     import signal
     stop = {"flag": False}
     prev_handler = None
@@ -275,98 +310,161 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
     except ValueError:
         pass  # not the main thread (e.g. under a test runner)
 
-    for epoch in range(trained_epochs + 1, cfg.epochs + 1):
-        start = time.time()
+    # quiet runs with no logger sync metrics to host only every 16 steps
+    # (keeps >1-step dispatch depth through a high-latency remote device);
+    # interactive/logged runs sync one step behind, every step
+    sync_every = 16 if (cfg.quiet and logger is None) else 1
 
-        # per-batch console/TB reporting runs ONE step behind the device:
-        # syncing step t's loss before dispatching t+1 serializes dispatch
-        # against the (remote) device and costs ~3x wall-time per epoch;
-        # printing t-1's line while t executes keeps the exact reference
-        # console surface (train.py:136-144) with the sync overlapped.
-        pending = None  # (batch_idx, seen, metrics) awaiting print
+    applied = 0  # batches applied this run (drives stop_after_batches)
+    try:
+        for epoch in range(trained_epochs + 1, cfg.epochs + 1):
+            start = time.time()
 
-        def report(item):
-            b_idx, seen, m = item
-            # ONE device->host transfer for all metric scalars: each
-            # float() is a separate round-trip (expensive through a
-            # remote-attached device)
-            keys = list(m.keys())
-            vals = np.asarray(jnp.stack([m[k] for k in keys]))
-            m = {k: float(v) for k, v in zip(keys, vals)}
-            loss = m["loss"]
-            if cfg.nan_guard and not np.isfinite(loss):
-                raise FloatingPointError(
-                    f"loss diverged to {loss} at epoch {epoch} step "
-                    f"{b_idx} — lower the lr or inspect the data (NaN "
-                    "guard; disable with nan_guard=False)")
-            if not cfg.quiet:
-                print("Training Epoch:{epoch} [{seen}/{total}] "
-                      "Lr:{lr:0.6f} Loss:{loss:0.4f} Beta1:{beta:0.4f}"
-                      .format(epoch=epoch, seen=seen, total=n_train,
-                              lr=float(m["lr"]), loss=loss,
-                              beta=float(m["beta1"])))
-            if logger is not None:
-                n_iter = (epoch - 1) * steps_per_epoch + b_idx + 1
-                logger.last_layer_grad_norms(m, n_iter)
+            # per-batch console/TB reporting runs ONE step behind the
+            # device: syncing step t's loss before dispatching t+1
+            # serializes dispatch against the (remote) device and costs ~3x
+            # wall-time per epoch; printing t-1's line while t executes
+            # keeps the exact reference console surface (train.py:136-144)
+            # with the sync overlapped.
+            pending = None  # metrics awaiting print, one dispatch behind
 
-        for batch_idx, batch in enumerate(train_loader.epoch(epoch - 1)):
-            if stop["flag"]:
-                if prev_handler is not None:
-                    signal.signal(signal.SIGTERM, prev_handler)
+            def emit(b_idx, seen, m):
+                """Console/TB for one step, from host floats."""
+                loss = m["loss"]
+                if cfg.nan_guard and not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"loss diverged to {loss} at epoch {epoch} step "
+                        f"{b_idx} — lower the lr or inspect the data (NaN "
+                        "guard; disable with nan_guard=False)")
+                if not cfg.quiet:
+                    print("Training Epoch:{epoch} [{seen}/{total}] "
+                          "Lr:{lr:0.6f} Loss:{loss:0.4f} Beta1:{beta:0.4f}"
+                          .format(epoch=epoch, seen=seen, total=n_train,
+                                  lr=float(m["lr"]), loss=loss,
+                                  beta=float(m["beta1"])))
+                if logger is not None:
+                    n_iter = (epoch - 1) * steps_per_epoch + b_idx + 1
+                    logger.last_layer_grad_norms(m, n_iter)
+
+            def report(item):
+                # ONE device->host transfer for all metric scalars of the
+                # pending dispatch (one step, or a whole k-step chain):
+                # each float() is a separate round-trip through a
+                # remote-attached device
+                b0, m, kk = item
+                keys = list(m.keys())
+                vals = np.asarray(jnp.stack([m[k] for k in keys]))
+                vals = vals.reshape(len(keys), -1)  # (nkeys, kk)
+                last = None
+                for j in range(kk):
+                    last = {k: float(vals[i, j])
+                            for i, k in enumerate(keys)}
+                    emit(b0 + j, (b0 + j + 1) * cfg.batch_size, last)
+                return last
+
+            def preempt_save(next_batch_idx):
                 if cfg.checkpoint_dir:
                     save_checkpoint(
                         checkpoint_name(cfg.checkpoint_dir, epoch - 1,
-                                        "regular"),
+                                        "preempt"),
                         state, {"epoch": epoch - 1, "net": cfg.net,
-                                "preempted_in_epoch": epoch})
+                                "preempted_in_epoch": epoch,
+                                "resume_batch_idx": next_batch_idx})
                     print(f"SIGTERM: saved preemption checkpoint "
-                          f"{epoch - 1}-regular; resume with -resume")
-                return state, history
-            state, metrics = train_step(state, batch)
+                          f"{epoch - 1}-preempt (next batch "
+                          f"{next_batch_idx}); resume with -resume")
+
+            skip = resume_skip if epoch == resume_epoch else 0
+            if use_chain:
+                # k steps per host round-trip: gather+step chained in one
+                # lax.scan program over the HBM-resident dataset
+                idx_all = train_loader.epoch_indices(epoch - 1)[skip:]
+                pos = 0
+                while pos < len(idx_all):
+                    if stop["flag"]:
+                        preempt_save(skip + pos)
+                        return state, history
+                    kk = min(cfg.dispatch_chain, len(idx_all) - pos)
+                    if cfg.stop_after_batches is not None:
+                        # never overshoot a deterministic stop point
+                        kk = min(kk, max(
+                            cfg.stop_after_batches - applied, 1))
+                    idx_k = jnp.asarray(idx_all[pos: pos + kk])
+                    state, ms = chain_step(state, train_loader.images,
+                                           train_loader.labels, idx_k)
+                    applied += kk
+                    if cfg.stop_after_batches is not None \
+                            and applied >= cfg.stop_after_batches:
+                        stop["flag"] = True
+                    if pending is not None:
+                        report(pending)
+                    pending = (skip + pos, ms, kk)
+                    pos += kk
+            else:
+                for batch_idx, batch in enumerate(
+                        train_loader.epoch(epoch - 1)):
+                    if batch_idx < skip:
+                        continue  # replaying a preempted epoch
+                    if stop["flag"]:
+                        preempt_save(batch_idx)
+                        return state, history
+                    state, metrics = train_step(state, batch)
+                    applied += 1
+                    if cfg.stop_after_batches is not None \
+                            and applied >= cfg.stop_after_batches:
+                        stop["flag"] = True
+                    if pending is not None and \
+                            (sync_every == 1
+                             or pending[0] % sync_every == 0):
+                        # step batch_idx is already dispatched; syncing
+                        # batch_idx-1 here overlaps with it rather than
+                        # stalling the device
+                        report(pending)
+                    pending = (batch_idx, metrics, 1)
             if pending is not None:
-                # step batch_idx is already dispatched; syncing batch_idx-1
-                # here overlaps with it instead of stalling the device
-                report(pending)
-            pending = (batch_idx,
-                       batch_idx * cfg.batch_size + batch[0].shape[0],
-                       metrics)
-        if pending is not None:
-            report(pending)
-            metrics = pending[2]
-        if logger is not None:
-            logger.scalar("Train/LearningRate", metrics["lr"], epoch)
-            logger.scalar("Train/Beta1", metrics["beta1"], epoch)
-            logger.param_histograms(state.params, epoch)
-        if not cfg.quiet:
-            print(f"time for training epoch {epoch} : "
-                  f"{time.time() - start:.2f}s")
+                metrics = report(pending)
+            if logger is not None:
+                logger.scalar("Train/LearningRate", metrics["lr"], epoch)
+                logger.scalar("Train/Beta1", metrics["beta1"], epoch)
+                logger.param_histograms(state.params, epoch)
+            if not cfg.quiet:
+                print(f"time for training epoch {epoch} : "
+                      f"{time.time() - start:.2f}s")
 
-        test_start = time.time()
-        loss_sum, cm, n_batches = evaluate(state, eval_step, val_loader,
-                                           normalize, cfg.batch_size,
-                                           sharding=bsh)
-        if not cfg.quiet:
-            print(f"Evaluation time comsumed:{time.time() - test_start:.2f}s")
-        miou, all_acc = print_epoch_metrics(cm, train_ds.class_names,
-                                            train_ds.ignore_index, cfg.quiet)
-        if logger is not None:
-            logger.scalar("Test/mIOU", miou, epoch)
-            logger.scalar("Test/Acc", all_acc, epoch)
-            # per-batch normalization like the reference (eval.py:68)
-            logger.scalar("Test/Loss", loss_sum / max(n_batches, 1), epoch)
-        history.append({"epoch": epoch, "miou": miou, "all_acc": all_acc})
+            test_start = time.time()
+            loss_sum, cm, n_batches = evaluate(state, eval_step, val_loader,
+                                               normalize, cfg.batch_size,
+                                               sharding=bsh)
+            if not cfg.quiet:
+                print(f"Evaluation time comsumed:"
+                      f"{time.time() - test_start:.2f}s")
+            miou, all_acc = print_epoch_metrics(
+                cm, train_ds.class_names, train_ds.ignore_index, cfg.quiet)
+            if logger is not None:
+                logger.scalar("Test/mIOU", miou, epoch)
+                logger.scalar("Test/Acc", all_acc, epoch)
+                # per-batch normalization like the reference (eval.py:68)
+                logger.scalar("Test/Loss", loss_sum / max(n_batches, 1),
+                              epoch)
+            history.append({"epoch": epoch, "miou": miou,
+                            "all_acc": all_acc})
 
-        if cfg.checkpoint_dir:
-            meta = {"epoch": epoch, "miou": miou, "net": cfg.net}
-            if best_iou < miou and epoch > cfg.epochs // 2:
-                best_iou = miou
-                save_checkpoint(checkpoint_name(cfg.checkpoint_dir, epoch,
-                                                "best"), state, meta)
-                continue  # same cadence quirk as train.py:232-240
-            if not epoch % cfg.save_epoch:
-                save_checkpoint(checkpoint_name(cfg.checkpoint_dir, epoch,
-                                                "regular"), state, meta)
-
-    if prev_handler is not None:
-        signal.signal(signal.SIGTERM, prev_handler)
+            if cfg.checkpoint_dir:
+                meta = {"epoch": epoch, "miou": miou, "net": cfg.net}
+                if best_iou < miou and epoch > cfg.epochs // 2:
+                    best_iou = miou
+                    save_checkpoint(
+                        checkpoint_name(cfg.checkpoint_dir, epoch, "best"),
+                        state, meta)
+                    continue  # same cadence quirk as train.py:232-240
+                if not epoch % cfg.save_epoch:
+                    save_checkpoint(
+                        checkpoint_name(cfg.checkpoint_dir, epoch,
+                                        "regular"), state, meta)
+    finally:
+        # restore on EVERY exit (including exceptions like the nan_guard
+        # FloatingPointError) so a stale stop-dict closure never swallows
+        # later SIGTERMs
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
     return state, history

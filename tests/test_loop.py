@@ -77,6 +77,143 @@ def test_run_training_host_loader():
     assert int(state.step) == 1  # 6 imgs, batch 4, drop_last -> 1 step
 
 
+def test_dispatch_chain_matches_unchained():
+    """k-step chained dispatch (lax.scan over per-step batch indices,
+    VERDICT r2 weak #2) computes the same training as
+    one-dispatch-per-step: RNG, BN stats, optimizer state and schedule
+    thread through the scan carry exactly as through sequential python
+    steps.
+
+    The tight arm uses a LINEAR pixel model + SGD: the scan body and the
+    standalone step are different XLA programs, so reduction order
+    differs at float noise level, and through a 23-layer BN/ReLU net even
+    SGD amplifies that ~100x per step (measured) — no deep-net
+    trajectory can be compared bitwise across program shapes. A linear
+    model is numerically stable, so ANY semantic bug (wrong batch order,
+    mis-threaded augmentation RNG, schedule off-by-one, lost optimizer
+    state) produces O(1) loss differences while the healthy path agrees
+    to ~1e-6. The full UNet surface is covered loosely below."""
+    from pytorch_camvid_tpu.data.augment import (
+        AugmentConfig, make_train_augment)
+    from pytorch_camvid_tpu.data.pipeline import DeviceDataLoader
+    from pytorch_camvid_tpu.parallel import (
+        make_mesh, jit_train_step, jit_chain_train_step, batch_sharding)
+    from pytorch_camvid_tpu.train import (
+        TrainState, sgd, make_train_step)
+    from pytorch_camvid_tpu.config import settings
+
+    ds = _DS(12)
+
+    def tiny_apply(variables, x, train=True, axis_name=None,
+                   compute_dtype=jnp.float32, **kw):
+        # per-pixel linear classifier: logits = x @ w + b
+        p = variables["params"]
+        return jnp.einsum("nhwc,ck->nhwk", x, p["w"]) + p["b"], \
+            variables["state"]
+
+    variables = {"params": {"w": np.full((3, 12), 0.1, np.float32),
+                            "b": np.zeros((12,), np.float32)},
+                 "state": {}}
+    opt = sgd(momentum=0.9, nesterov=True)
+    aug = make_train_augment(AugmentConfig(
+        mean=settings.MEAN, std=settings.STD, rotation_fill=11,
+        scale_fill=11))
+    step = make_train_step(tiny_apply, opt, lambda s: jnp.float32(1e-2),
+                           augment_fn=aug, log_grad_norms=False)
+    mesh = make_mesh(1)
+    bsh = batch_sharding(mesh)
+
+    loader = DeviceDataLoader(ds.images, ds.labels, 4, shuffle=True,
+                              seed=0, drop_last=True, sharding=bsh)
+    s1 = TrainState.create(variables, opt)
+    ts = jit_train_step(step, mesh)
+    losses1 = []
+    for e in range(3):
+        for b in loader.epoch(e):
+            s1, m = ts(s1, b)
+            losses1.append(float(m["loss"]))
+
+    loader2 = DeviceDataLoader(ds.images, ds.labels, 4, shuffle=True,
+                               seed=0, drop_last=True, sharding=bsh)
+    s2 = TrainState.create(variables, opt)
+    cs = jit_chain_train_step(step, mesh)
+    losses2 = []
+    for e in range(3):
+        idx = jnp.asarray(loader2.epoch_indices(e))
+        s2, ms = cs(s2, loader2.images, loader2.labels, idx)
+        losses2.extend(np.asarray(ms["loss"]).tolist())
+
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-6)
+    assert int(s1.step) == int(s2.step) == 9
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # a deliberately WRONG chaining (reversed batch order) must be caught
+    s3 = TrainState.create(variables, opt)
+    losses3 = []
+    for e in range(3):
+        idx = jnp.asarray(loader.epoch_indices(e)[::-1].copy())
+        s3, ms = cs(s3, loader2.images, loader2.labels, idx)
+        losses3.extend(np.asarray(ms["loss"]).tolist())
+    assert np.abs(np.asarray(losses3) - np.asarray(losses1)).max() > 1e-4
+
+
+def test_dispatch_chain_run_training_surface():
+    """The chained run_training path produces the same surface (steps,
+    history length, finite metrics) as the unchained one; numerics under
+    AdamW are compared loosely (see the SGD arm above for why)."""
+    train_ds, val_ds = _DS(8), _DS(4, seed=1)
+    base = dict(net="unet", batch_size=4, lr=1e-3, epochs=2, quiet=True,
+                data_parallel=1)
+    s1, h1 = run_training(TrainConfig(**base, dispatch_chain=1),
+                          train_ds, val_ds)
+    s8, h8 = run_training(TrainConfig(**base, dispatch_chain=8),
+                          train_ds, val_ds)
+    assert int(s1.step) == int(s8.step) == 4
+    assert [h["epoch"] for h in h1] == [h["epoch"] for h in h8]
+    for a, b in zip(h1, h8):
+        assert abs(a["miou"] - b["miou"]) < 0.1
+        assert abs(a["all_acc"] - b["all_acc"]) < 0.1
+
+
+def test_preempt_midepoch_resume_is_step_exact(tmp_path):
+    """Preemption mid-epoch saves a distinct '<epoch>-preempt' checkpoint
+    recording the first un-applied batch; -resume continues from that exact
+    batch (no schedule/optimizer double-stepping), so interrupted+resumed
+    training is bit-identical to an uninterrupted run (ADVICE r2 on the
+    old epoch-replay behavior; reference analogue train.py:88-93)."""
+    from dataclasses import replace
+
+    train_ds, val_ds = _DS(8), _DS(4, seed=1)
+    # dispatch_chain=1: with chaining, the pre/post-resume chunk lengths
+    # differ from the uninterrupted run's, and different chunkings are
+    # different XLA programs whose reduction-order noise AdamW amplifies
+    # (see test_dispatch_chain_matches_unchained) — the bit-exactness
+    # being tested here needs every step to run the same program
+    cfg = TrainConfig(net="unet", batch_size=4, lr=1e-3, epochs=2,
+                      quiet=True, data_parallel=1, dispatch_chain=1)
+    ref_state, _ = run_training(cfg, train_ds, val_ds)
+    assert int(ref_state.step) == 4  # 2 epochs x 2 steps
+
+    # same run, "preempted" after 3 applied batches (mid-epoch 2)
+    ckpt = str(tmp_path / "checkpoints" / "run1")
+    mid_state, _ = run_training(
+        replace(cfg, checkpoint_dir=ckpt, stop_after_batches=3),
+        train_ds, val_ds)
+    assert int(mid_state.step) == 3
+    files = [os.path.basename(p) for p in glob.glob(os.path.join(ckpt, "*"))]
+    assert files == ["1-preempt.ckpt.npz"]  # distinct name, no clean save
+
+    res_state, history = run_training(
+        replace(cfg, checkpoint_dir=ckpt, resume=True), train_ds, val_ds)
+    assert int(res_state.step) == 4          # only 1 more batch applied
+    assert [h["epoch"] for h in history] == [2]
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
+                    jax.tree_util.tree_leaves(res_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_host_loader_drop_last_and_gather():
     from pytorch_camvid_tpu.data.pipeline import HostLoader
     rng = np.random.default_rng(0)

@@ -179,5 +179,7 @@ def test_sigterm_saves_preemption_checkpoint(tmp_path):
     out, _ = p.communicate(timeout=300)
     assert p.returncode == 0, out[-2000:]
     assert "saved preemption checkpoint" in out
-    cks = glob.glob(str(tmp_path / "checkpoints" / "*" / "*-regular*"))
+    # the mid-epoch save uses its own '-preempt' name so it can never
+    # clobber a clean end-of-epoch checkpoint (ADVICE r2)
+    cks = glob.glob(str(tmp_path / "checkpoints" / "*" / "*-preempt*"))
     assert cks, "no preemption checkpoint written"

@@ -62,6 +62,10 @@ if __name__ == "__main__":
                         help="input pipeline: device = HBM-resident split "
                         "(default); host = host-RAM + native threaded "
                         "gather + double-buffered H2D (for > HBM splits)")
+    parser.add_argument("-chain", type=int, default=8,
+                        help="train steps dispatched per host round-trip "
+                        "(lax.scan-chained; device loader only; 1 = "
+                        "step-per-dispatch like the reference loop)")
     args = parser.parse_args()
     image_size = (tuple(args.image_size) if args.image_size
                   else settings.IMAGE_SIZE)
@@ -99,7 +103,8 @@ if __name__ == "__main__":
         compute_dtype=args.dtype, data_parallel=args.dp,
         checkpoint_dir=checkpoint_path, log_dir=log_dir, quiet=args.quiet,
         save_epoch=settings.SAVE_EPOCH, loss_ignore_index=loss_ignore,
-        loader=args.loader, grad_accum=args.accum)
+        loader=args.loader, grad_accum=args.accum,
+        dispatch_chain=args.chain)
 
     logger = SummaryLogger(log_dir)
     try:
