@@ -33,17 +33,35 @@ BN_MOMENTUM = 0.1   # torch: running = (1-m)*running + m*batch
 
 def conv2d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
            stride: int = 1, padding: str | Tuple = "SAME") -> jax.Array:
-    """NHWC conv with HWIO kernel; accumulates in float32 on the MXU."""
+    """NHWC conv with HWIO kernel; accumulates in float32 on the MXU.
+
+    Shape-directed formulation (all measured on chip, b24 360x480 —
+    run_artifacts/shallow_conv_b24.jsonl; every variant is oracle- and
+    gradient-tested equal to the direct conv in tests/test_conv_alt.py):
+    - Cin <= 4 RGB stem: wgroup(2) column-grouped conv — the MXU output
+      tile doubles to 2*Cout with no input transform; 1.76x measured.
+    - Cout < 64 narrow head: zero-pad Cout to 64 and slice — 14.9 ->
+      7.0 ms measured; the padded channels also speed up dgrad/wgrad.
+      (wgroup(8) on the raw head measures 5.8 ms forward but its
+      stride-8 backward is unproven; pad stays the default.)
+    - everything else: direct conv (measured at 91-102% of roofline on
+      the deep shapes; every alternative measured slower on 64->64 and
+      128->64 — PERF.md).
+    """
     # No preferred_element_type: output dtype follows the inputs (bf16 in /
     # bf16 out keeps fwd and bwd dtypes consistent); the MXU still
     # accumulates bf16 products in float32 internally.
-    cout = w.shape[-1]
+    cin, cout = w.shape[-2], w.shape[-1]
+    is_same3x3 = (stride == 1 and padding == "SAME"
+                  and w.shape[0] == w.shape[1] == 3)
+    if is_same3x3 and cin <= 4 and x.shape[2] % 2 == 0:
+        from pytorch_camvid_tpu.ops.conv_alt import wgroup_conv3x3
+        y = wgroup_conv3x3(x, w.astype(x.dtype), 2,
+                           preferred_element_type=None)
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        return y
     if cout < 64:
-        # narrow output heads (e.g. the 12-class logits conv) underfill the
-        # MXU lane dimension and run ~4x below their effective roofline;
-        # zero-padding Cout to 64 and slicing halves the measured op time
-        # (14.9 -> 7.0 ms at batch 24 x 360x480x64->12 — PERF.md) and the
-        # padded channels also speed up dgrad/wgrad in the backward pass
         w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 64 - cout)))
     y = lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride), padding,
