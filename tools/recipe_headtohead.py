@@ -31,7 +31,8 @@ from tools.trajectory_lockstep import import_reference_model  # noqa: E402
 HW = (48, 64)
 N_TRAIN, N_VAL = 32, 16
 BATCH = 8
-EPOCHS = 12
+EPOCHS = 12        # UNet is decisive by 12; SegNet's unpool decoder
+EPOCHS_SEGNET = 36  # learns ~3x slower from scratch (measured curves)
 LR = 5e-4
 MEAN = (0.5, 0.5, 0.5)
 STD = (0.25, 0.25, 0.25)
@@ -51,7 +52,7 @@ def _normalize(images_u8: np.ndarray) -> np.ndarray:
 
 
 def run_reference_recipe(net_name: str, cls_name: str, train, val,
-                         seed: int = 0):
+                         seed: int = 0, epochs: int = EPOCHS):
     """The reference training loop, faithfully: AdamW + OneCycleLR stepped
     per batch + plain CE (train.py:100-134), eval via the confusion-matrix
     Metrics definition (legacy/metrics.py / eval.py:40-72)."""
@@ -72,12 +73,12 @@ def run_reference_recipe(net_name: str, cls_name: str, train, val,
     steps_per_epoch = len(xs) // BATCH
     optimizer = optim.AdamW(net.parameters(), lr=LR, weight_decay=0)
     sched = optim.lr_scheduler.OneCycleLR(
-        optimizer, max_lr=LR, total_steps=steps_per_epoch * EPOCHS)
+        optimizer, max_lr=LR, total_steps=steps_per_epoch * epochs)
     loss_fn = nn.CrossEntropyLoss()
     g = torch.Generator().manual_seed(seed + 1)
 
     curve = []
-    for epoch in range(EPOCHS):
+    for epoch in range(epochs):
         net.train()
         perm = torch.randperm(len(xs), generator=g)
         for b in range(steps_per_epoch):
@@ -100,7 +101,8 @@ def run_reference_recipe(net_name: str, cls_name: str, train, val,
     return curve
 
 
-def run_our_recipe(net_name: str, train, val, seed: int = 0):
+def run_our_recipe(net_name: str, train, val, seed: int = 0,
+                   epochs: int = EPOCHS):
     """Our recipe on the same raw arrays, mirrored from the library
     primitives with no augmentation (matching the torch arm) so both sides
     see identically-distributed data."""
@@ -116,7 +118,7 @@ def run_our_recipe(net_name: str, train, val, seed: int = 0):
     variables = init_fn(jax.random.PRNGKey(seed))
     opt = adamw(weight_decay=0.0)
     steps_per_epoch = len(train[0]) // BATCH
-    total = steps_per_epoch * EPOCHS
+    total = steps_per_epoch * epochs
     step = jax.jit(make_train_step(apply_fn, opt, onecycle_lr(LR, total),
                                    onecycle_beta1(total),
                                    log_grad_norms=False))
@@ -130,7 +132,7 @@ def run_our_recipe(net_name: str, train, val, seed: int = 0):
     rng = np.random.default_rng(seed + 1)
 
     curve = []
-    for epoch in range(EPOCHS):
+    for epoch in range(epochs):
         perm = rng.permutation(len(train[0]))
         for b in range(steps_per_epoch):
             idx = perm[b * BATCH:(b + 1) * BATCH]
@@ -153,17 +155,20 @@ def main():
     bayes = color_bayes_accuracy(*val)
 
     out = {"task": {"hw": HW, "n_train": N_TRAIN, "n_val": N_VAL,
-                    "batch": BATCH, "epochs": EPOCHS, "lr": LR,
+                    "batch": BATCH, "epochs": EPOCHS,
+                    "epochs_segnet": EPOCHS_SEGNET, "lr": LR,
                     "color_only_bayes_acc": round(bayes, 4)},
            "nets": {}}
     for net_name, cls_name in [("unet", "UNet"), ("segnet", "SegNet")]:
+        ep = EPOCHS_SEGNET if net_name == "segnet" else EPOCHS
         t0 = time.time()
-        ours = run_our_recipe(net_name, train, val, seed=0)
+        ours = run_our_recipe(net_name, train, val, seed=0, epochs=ep)
         t_ours = time.time() - t0
         # a second seed for ours bounds run-to-run noise on this task
-        ours2 = run_our_recipe(net_name, train, val, seed=7)
+        ours2 = run_our_recipe(net_name, train, val, seed=7, epochs=ep)
         t0 = time.time()
-        theirs = run_reference_recipe(net_name, cls_name, train, val, seed=0)
+        theirs = run_reference_recipe(net_name, cls_name, train, val,
+                                      seed=0, epochs=ep)
         t_ref = time.time() - t0
         noise = abs(ours[-1] - ours2[-1])
         out["nets"][net_name] = {
