@@ -31,19 +31,34 @@ BN_EPS = 1e-5       # torch.nn.BatchNorm2d default
 BN_MOMENTUM = 0.1   # torch: running = (1-m)*running + m*batch
 
 
+def _wgroup_stem() -> bool:
+    """Opt-in toggle for the wgroup stem path (PCT_WGROUP_STEM=1 enables).
+
+    Default OFF: the standalone-op probe showed wgroup(2) 1.76x faster on
+    the stem, but the IN-CONTEXT A/B reversed it — full-model eval forward
+    283 -> 198 img/s with the wgroup stem (layout/fusion interactions eat
+    the op win), and training lost ~10.5 ms/step to its backward. Numerics
+    are equal either way; the formulation stays available for
+    experimentation and as a measured negative result (PERF.md)."""
+    import os
+    return os.environ.get("PCT_WGROUP_STEM", "0") == "1"
+
+
 def conv2d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
-           stride: int = 1, padding: str | Tuple = "SAME") -> jax.Array:
+           stride: int = 1, padding: str | Tuple = "SAME",
+           allow_wgroup: bool = False) -> jax.Array:
     """NHWC conv with HWIO kernel; accumulates in float32 on the MXU.
 
     Shape-directed formulation (all measured on chip, b24 360x480 —
     run_artifacts/shallow_conv_b24.jsonl; every variant is oracle- and
     gradient-tested equal to the direct conv in tests/test_conv_alt.py):
-    - Cin <= 4 RGB stem: wgroup(2) column-grouped conv — the MXU output
-      tile doubles to 2*Cout with no input transform; 1.76x measured.
     - Cout < 64 narrow head: zero-pad Cout to 64 and slice — 14.9 ->
       7.0 ms measured; the padded channels also speed up dgrad/wgrad.
-      (wgroup(8) on the raw head measures 5.8 ms forward but its
-      stride-8 backward is unproven; pad stays the default.)
+    - Cin <= 4 RGB stem: direct conv by default. wgroup(2) measures
+      1.76x faster as a STANDALONE op, but the in-context A/B reversed
+      it (full-model eval 283 -> 198 img/s; training +10.5 ms/step from
+      its backward) — opt-in via allow_wgroup + PCT_WGROUP_STEM=1, kept
+      as a measured negative result (PERF.md).
     - everything else: direct conv (measured at 91-102% of roofline on
       the deep shapes; every alternative measured slower on 64->64 and
       128->64 — PERF.md).
@@ -54,7 +69,8 @@ def conv2d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
     cin, cout = w.shape[-2], w.shape[-1]
     is_same3x3 = (stride == 1 and padding == "SAME"
                   and w.shape[0] == w.shape[1] == 3)
-    if is_same3x3 and cin <= 4 and x.shape[2] % 2 == 0:
+    if is_same3x3 and allow_wgroup and cin <= 4 and x.shape[2] % 2 == 0 \
+            and _wgroup_stem():
         from pytorch_camvid_tpu.ops.conv_alt import wgroup_conv3x3
         y = wgroup_conv3x3(x, w.astype(x.dtype), 2,
                            preferred_element_type=None)
@@ -124,7 +140,8 @@ def conv_bn_relu_apply(params, state, x: jax.Array, *, train: bool,
         y = conv3x3_pallas(xc, params["w"].astype(xc.dtype))
         y = y + params["b"].astype(y.dtype)
     else:
-        y = conv2d(x.astype(compute_dtype), params["w"], params["b"])
+        y = conv2d(x.astype(compute_dtype), params["w"], params["b"],
+                   allow_wgroup=not train)
     y = y.astype(jnp.float32)
 
     if train:
