@@ -85,6 +85,10 @@ def apply_segnet(variables, x: jax.Array, *, train: bool = False,
         pool_fn, unpool_fn = (max_pool_2x2_argmax_pallas,
                               max_unpool_2x2_pallas)
     else:
+        # argmax pair stays: the int8-phase pair (ops/pooling.py) was
+        # measured SLOWER both standalone (54.7 vs 35.3 ms across the 5
+        # pairs) and in the full train step (81.9 vs 104.3 img/s) —
+        # PERF.md round-3 pool section
         pool_fn, unpool_fn = max_pool_2x2_with_argmax, max_unpool_2x2
 
     x = x.astype(compute_dtype)

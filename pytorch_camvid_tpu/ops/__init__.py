@@ -6,7 +6,8 @@ from pytorch_camvid_tpu.ops.initializers import (  # noqa: F401
 from pytorch_camvid_tpu.ops.conv import (  # noqa: F401
     conv2d, conv_bn_relu_init, conv_bn_relu_apply)
 from pytorch_camvid_tpu.ops.pooling import (  # noqa: F401
-    max_pool_2x2, max_pool_2x2_with_argmax, max_unpool_2x2)
+    max_pool_2x2, max_pool_2x2_with_argmax, max_unpool_2x2,
+    max_pool_2x2_with_phase, max_unpool_2x2_from_phase, phase_to_flat_index)
 from pytorch_camvid_tpu.ops.resize import (  # noqa: F401
     upsample2x_bilinear_align_corners, resize_bilinear_cv2, resize_nearest_cv2)
 from pytorch_camvid_tpu.ops.loss import cross_entropy_loss  # noqa: F401

@@ -63,6 +63,76 @@ def max_pool_2x2_with_argmax(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return pooled, idx
 
 
+def max_pool_2x2_with_phase(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """2x2/stride-2 max pool returning (pooled, phase k in [0,4) int8).
+
+    The phase k = 2*dy + dx identifies which of the window's four pixels
+    was selected — the same information as the torch flat index
+    (idx = (2i+dy)*W + (2j+dx)) in 1/4 the bytes and without materializing
+    iota planes. Selection order matches torch's first-maximum window scan
+    (0,0),(0,1),(1,0),(1,1) exactly, built from pairwise strict-greater
+    comparisons: W-pairs first within each row (first-in-row wins ties),
+    then the row pair (row 0 wins ties) — so e.g. equal maxima at (0,1)
+    and (1,0) resolve to (0,1) like torch.
+
+    Measured on chip and REJECTED as SegNet's production pair (b24,
+    run_artifacts/probe_pool_phase_b24.jsonl vs the argmax arm): despite
+    1/4 the index bytes and no candidate materialization, the four
+    strided W/H slices relayout and the pair runs 54.7 vs 35.3 ms
+    standalone across SegNet's 5 stages, 81.9 vs 104.3 img/s in the full
+    train step — the argmax pair stays (PERF.md round-3). Kept as the
+    measured bound and for memory-constrained serving (int8 skips).
+    """
+    n, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    xe = x[:, : 2 * h2, : 2 * w2, :]
+    a = xe[:, 0::2, :, :]          # even rows (n, h2, 2*w2, c)
+    b = xe[:, 1::2, :, :]          # odd rows
+    a0, a1 = a[:, :, 0::2, :], a[:, :, 1::2, :]
+    b0, b1 = b[:, :, 0::2, :], b[:, :, 1::2, :]
+    dx0 = a1 > a0                  # within row 0: col 1 only if strictly >
+    dx1 = b1 > b0
+    row0 = jnp.maximum(a0, a1)
+    row1 = jnp.maximum(b0, b1)
+    dy = row1 > row0               # row 1 only if strictly >
+    pooled = jnp.maximum(row0, row1)
+    k = jnp.where(dy, 2 + dx1.astype(jnp.int8), dx0.astype(jnp.int8))
+    return pooled, k
+
+
+def phase_to_flat_index(k: jax.Array, w_in: int) -> jax.Array:
+    """Expand a 2-bit phase plane to torch's flat spatial indices."""
+    n, h2, w2, c = k.shape
+    ki = k.astype(jnp.int32)
+    dy, dx = ki // 2, ki % 2
+    yy = 2 * jax.lax.broadcasted_iota(jnp.int32, k.shape, 1) + dy
+    xx = 2 * jax.lax.broadcasted_iota(jnp.int32, k.shape, 2) + dx
+    return yy * w_in + xx
+
+
+def max_unpool_2x2_from_phase(x: jax.Array, k: jax.Array,
+                              out_hw: Tuple[int, int]) -> jax.Array:
+    """Invert max_pool_2x2_with_phase: phase-mask unpool without flat
+    indices — each output phase (a, b) keeps x where k == 2a+b."""
+    n, h2, w2, c = x.shape
+    ho, wo = out_hw
+    zero = jnp.zeros((), x.dtype)
+
+    def phase(a, b):
+        return jnp.where(k == 2 * a + b, x, zero)
+
+    def interleave_w(p0, p1):
+        return jnp.stack([p0, p1], axis=3).reshape(n, h2, 2 * w2, c)
+
+    row0 = interleave_w(phase(0, 0), phase(0, 1))
+    row1 = interleave_w(phase(1, 0), phase(1, 1))
+    t = jnp.stack([row0, row1], axis=2).reshape(n, 2 * h2, 2 * w2, c)
+    pad_h, pad_w = max(ho - 2 * h2, 0), max(wo - 2 * w2, 0)
+    if pad_h or pad_w:
+        t = jnp.pad(t, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    return t[:, :ho, :wo, :]
+
+
 def max_unpool_2x2(x: jax.Array, idx: jax.Array,
                    out_hw: Tuple[int, int]) -> jax.Array:
     """Invert max_pool_2x2_with_argmax: place x at idx in a (Ho, Wo) plane.

@@ -37,7 +37,15 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def jit_train_step(step_fn: Callable, mesh: Mesh):
-    """Compile a train step for the mesh: replicated state, sharded batch."""
+    """Compile a train step for the mesh: replicated state, sharded batch.
+
+    On a 1-device mesh the sharding annotations are semantically no-ops
+    but measured 4x slower on the v5e through the axon backend (289.6 ->
+    1166-1228 ms/step for the same program; either in_ or out_shardings
+    alone triggers it — PERF.md round-3). Single-device compiles plain.
+    """
+    if mesh.size == 1:
+        return jax.jit(step_fn, donate_argnums=(0,))
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(step_fn,
@@ -67,18 +75,28 @@ def jit_chain_train_step(step_fn: Callable, mesh: Mesh):
 
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
+    # annotate the gathered batch ONLY on real multi-device meshes: on a
+    # 1-device mesh the constraint is semantically a no-op but measured
+    # 4x slower (289 -> 1218 ms/step on the v5e) — it pins a layout
+    # inside the scan body and blocks fusion with the augmentation
+    multi = mesh.size > 1
 
     def chained(state, images, labels, idx_k):
         def body(st, ix):
             batch = (jnp.take(images, ix, axis=0),
                      jnp.take(labels, ix, axis=0))
-            batch = jax.tree.map(
-                lambda x: jax.lax.with_sharding_constraint(x, bsh), batch)
+            if multi:
+                batch = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, bsh),
+                    batch)
             return step_fn(st, batch)
         return jax.lax.scan(body, state, idx_k)
 
     # images/labels keep their committed (sample-axis) sharding: None lets
-    # jit inherit it; idx is replicated
+    # jit inherit it; idx is replicated. 1-device meshes compile plain
+    # (sharding annotations measured 4x slower — see jit_train_step).
+    if not multi:
+        return jax.jit(chained, donate_argnums=(0,))
     return jax.jit(chained,
                    in_shardings=(rep, None, None, rep),
                    out_shardings=(rep, rep),
@@ -86,6 +104,8 @@ def jit_chain_train_step(step_fn: Callable, mesh: Mesh):
 
 
 def jit_eval_step(step_fn: Callable, mesh: Mesh):
+    if mesh.size == 1:  # see jit_train_step: annotations cost 4x here
+        return jax.jit(step_fn)
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(step_fn,

@@ -187,8 +187,11 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
     state = TrainState.create(variables, opt,
                               rng=jax.random.PRNGKey(cfg.seed + 1))
 
-    rep = replicated_sharding(mesh)
-    bsh = batch_sharding(mesh)
+    # no sharding pinning on a single device: committed NamedSharding
+    # arrays (and sharded-jit annotations) measured 4x slower through the
+    # axon backend (PERF.md round-3); multi-device keeps explicit layouts
+    rep = replicated_sharding(mesh) if ndev > 1 else None
+    bsh = batch_sharding(mesh) if ndev > 1 else None
     if cfg.loader == "host":
         from pytorch_camvid_tpu.data.pipeline import HostLoader
         train_loader = HostLoader(np.asarray(train_ds.images),
@@ -252,7 +255,8 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                        loss_ignore_index=tuple(eval_loss_ignore),
                        compute_dtype=dtype), mesh)
 
-    state = jax.device_put(state, rep)
+    if rep is not None:
+        state = jax.device_put(state, rep)
 
     trained_epochs = 0
     resume_epoch = 0      # epoch a preemption interrupted (0 = none)
@@ -278,7 +282,8 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                                        trained_epochs * steps_per_epoch,
                                        jnp.int32),
                                    rng=state.rng)
-                state = jax.device_put(state, rep)
+                if rep is not None:
+                    state = jax.device_put(state, rep)
             else:
                 state, meta = load_checkpoint(weight_path, state,
                                               sharding=rep)

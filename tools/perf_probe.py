@@ -81,11 +81,14 @@ def segnet_conv_shapes(hw=(360, 480)):
     return shapes
 
 
-def probe_pool_ops(batch, hw=(360, 480), k=30):
+def probe_pool_ops(batch, hw=(360, 480), k=30, impl="argmax"):
     """Times SegNet's non-conv hot structure per stage: the
-    maxpool-with-argmax + index-unpool-scatter PAIR (what a SegNet
+    maxpool-with-indices + index-unpool PAIR (what a SegNet
     encoder/decoder level actually pays beyond convs) — the candidate
     explanation for SegNet's MFU gap that the conv table can't show.
+
+    impl="argmax": flat-int32-index pair (torch-convention indices);
+    impl="phase": int8 2-bit-phase pair (ops/pooling.py phase forms).
 
     Chained k times through a fori_loop with a data-dependent carry (same
     anti-CSE construction as probe_shape) and compared against the HBM
@@ -93,7 +96,15 @@ def probe_pool_ops(batch, hw=(360, 480), k=30):
     import jax
     import jax.numpy as jnp
     from pytorch_camvid_tpu.ops.pooling import (
-        max_pool_2x2_with_argmax, max_unpool_2x2)
+        max_pool_2x2_with_argmax, max_unpool_2x2,
+        max_pool_2x2_with_phase, max_unpool_2x2_from_phase)
+
+    if impl == "phase":
+        pool_fn, unpool_fn, idx_bytes = (
+            max_pool_2x2_with_phase, max_unpool_2x2_from_phase, 1)
+    else:
+        pool_fn, unpool_fn, idx_bytes = (
+            max_pool_2x2_with_argmax, max_unpool_2x2, 4)
 
     h, w = hw
     dims = [(h, w)]
@@ -109,8 +120,8 @@ def probe_pool_ops(batch, hw=(360, 480), k=30):
 
         def chained(v):
             def body(_, carry):
-                y, idx = max_pool_2x2_with_argmax(carry)
-                up = max_unpool_2x2(y, idx, (hh, ww))
+                y, idx = pool_fn(carry)
+                up = unpool_fn(y, idx, (hh, ww))
                 return carry + (1e-30 * up).astype(carry.dtype)
             return jax.lax.fori_loop(0, k, body, v)
 
@@ -123,12 +134,12 @@ def probe_pool_ops(batch, hw=(360, 480), k=30):
         t_pair = (time.perf_counter() - t0) / k
 
         # unavoidable traffic for the pair: read x, write y (bf16) + idx
-        # (int32), read both back, write the full-res output
+        # (int32 or int8 phase), read both back, write the full-res output
         y_elems = batch * (hh // 2) * (ww // 2) * c
-        traffic = x.size * 2 * 2 + y_elems * (2 + 4) * 2
+        traffic = x.size * 2 * 2 + y_elems * (2 + idx_bytes) * 2
         bound_ms = traffic / 819e9 * 1e3
         rows.append({
-            "stage": i + 1, "shape": [batch, hh, ww, c],
+            "stage": i + 1, "impl": impl, "shape": [batch, hh, ww, c],
             "pool_unpool_ms": round(1000 * t_pair, 3),
             "bw_bound_ms": round(bound_ms, 3),
             "pct_of_bw_bound": round(100 * bound_ms / max(1e-9,
@@ -166,6 +177,7 @@ def probe_shape(batch, h, w, cin, cout, k=30, pallas=False,
     dtype = dtype or jnp.bfloat16
 
     key = jax.random.PRNGKey(0)
+    op_extras = ()  # extra jit ARGUMENTS for the op (see wgrad)
     x = jax.random.normal(key, (batch, h, w, cin), dtype)
     wgt = jax.random.normal(key, (3, 3, cin, cout), dtype) * 0.05
     a = jnp.ones((cout,), jnp.float32)
@@ -203,23 +215,34 @@ def probe_shape(batch, h, w, cin, cout, k=30, pallas=False,
     elif mode == "wgrad":
         carry0 = jax.random.normal(key, (batch, h, w, cout), dtype)
         carry_ch = cout
-        _, vjp = jax.vjp(lambda w_: conv(x, w_), wgt)
 
-        def op(g):
-            (dw,) = vjp(g.astype(jnp.float32))
+        # mirror the production conv (ops/conv.py: no preferred_element_type,
+        # output dtype follows the bf16 inputs) so the VJP emits the same
+        # wgrad conv the training step does; cotangent is the bf16 carry.
+        # x must be a jit ARGUMENT, not a closure capture: captured it is
+        # baked into the HLO as a literal and the 530 MB shapes exceed the
+        # tunnel's remote_compile request limit (HTTP 413).
+        def op(g, xx):
+            def prod_conv(w_):
+                return jax.lax.conv_general_dilated(
+                    xx, w_, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            _, vjp = jax.vjp(prod_conv, wgt)
+            (dw,) = vjp(g)
             return dw
+        op_extras = (x,)
     else:
         raise ValueError(mode)
 
-    def timed(the_op, iters):
-        def chained(v):
+    def timed(the_op, iters, extras=()):
+        def chained(v, *ex):
             def body(i, c):
-                y = the_op(c)
+                y = the_op(c, *ex)
                 # mix the output back into a same-shaped carry (data
                 # dependency so XLA cannot elide or overlap iterations)
                 # without changing magnitudes (1e-30 * y underflows in the
                 # add but is not algebraically foldable)
-                if y.ndim != c.ndim:  # wgrad: dW -> scalar mix
+                if y.shape[:-1] != c.shape[:-1]:  # wgrad: dW -> scalar mix
                     return c + (1e-30 * jnp.sum(y)).astype(c.dtype)
                 if y.shape[-1] >= carry_ch:
                     mix = y[..., :carry_ch]
@@ -230,10 +253,10 @@ def probe_shape(batch, h, w, cin, cout, k=30, pallas=False,
             return jax.lax.fori_loop(0, iters, body, v)
 
         f = jax.jit(chained)
-        r = f(carry0)
+        r = f(carry0, *extras)
         np.asarray(r[0, 0, 0, 0])  # sync
         t0 = time.perf_counter()
-        r = f(carry0)
+        r = f(carry0, *extras)
         np.asarray(r[0, 0, 0, 0])
         return (time.perf_counter() - t0) / iters
 
@@ -246,8 +269,8 @@ def probe_shape(batch, h, w, cin, cout, k=30, pallas=False,
     # out, and mark any survivor as suspect instead of shipping it.
     kk = k
     for attempt in range(3):
-        t_op = timed(op, kk)
-        t_base = timed(lambda c: c[..., :cout], kk)  # chain tax stand-in
+        t_op = timed(op, kk, op_extras)
+        t_base = timed(lambda c, *ex: c[..., :cout], kk)  # chain tax stand-in
         net = max(t_op - t_base, 1e-9)
         achieved = flops / net / 1e12
         if achieved <= bound:
@@ -280,13 +303,16 @@ def main():
                     choices=["unet", "segnet", "dominant", "pool"])
     ap.add_argument("--mode", type=str, default="fwd",
                     choices=["fwd", "dgrad", "wgrad"])
+    ap.add_argument("--pool-impl", type=str, default="argmax",
+                    choices=["argmax", "phase"])
     args = ap.parse_args()
 
     from pytorch_camvid_tpu.runtime import enable_compilation_cache
     enable_compilation_cache()
 
     if args.shapes == "pool":
-        for row in probe_pool_ops(args.batch, k=args.k):
+        for row in probe_pool_ops(args.batch, k=args.k,
+                                  impl=args.pool_impl):
             print(json.dumps(row), flush=True)
         return
 
