@@ -136,3 +136,30 @@ def test_grad_accum_trains_end_to_end():
                       quiet=True, data_parallel=2, grad_accum=2)
     state, history = run_training(cfg, ds, _DS(2, seed=10))
     assert np.isfinite(history[0]["miou"])
+
+
+def test_backward_prunes_stem_input_gradient():
+    """The worst conv shape in the model — the stem's dgrad, measured
+    standalone at 5% of roofline (PERF.md backward breakdown) — must not
+    exist in the real backward: images are a differentiation leaf, so
+    dL/d(images) is pruned. Counts convs in the grad jaxpr (23 fwd +
+    22 dgrad + 23 wgrad for UNet's 23 convs) and asserts none produces an
+    image-shaped (B,H,W,3) gradient."""
+    from pytorch_camvid_tpu.ops.loss import cross_entropy_loss
+    B, H, W = 2, 48, 64
+    init_fn, apply_fn = get_model("unet", 3, 12)
+    variables = init_fn(jax.random.PRNGKey(0))
+
+    def loss_fn(params, state, x, y):
+        out, _ = apply_fn({"params": params, "state": state}, x,
+                          train=True, compute_dtype=jnp.bfloat16)
+        return cross_entropy_loss(out, y).mean()
+
+    x = jnp.zeros((B, H, W, 3), jnp.bfloat16)
+    y = jnp.zeros((B, H, W), jnp.int32)
+    jaxpr = str(jax.make_jaxpr(jax.grad(loss_fn))(
+        variables["params"], variables["state"], x, y))
+    convs = [l for l in jaxpr.splitlines() if "conv_general_dilated" in l]
+    assert len(convs) == 68  # 23 + 22 + 23
+    stem_dx = [l for l in convs if f"{B},{H},{W},3]" in l]
+    assert stem_dx == []
