@@ -80,7 +80,16 @@ def max_pool_2x2_argmax_pallas(x: jax.Array, interpret: bool = False
     h2, w2 = h // 2, w // 2
     quads = _quadrants(x)
 
-    tile_h2 = _pick_tile(h2, w2, c, x.dtype.itemsize, nbufs=6)
+    # VMEM budget in input-itemsize units, x2 for Mosaic's double
+    # buffering: 4 quadrant inputs + 1 pooled output + the int32 index
+    # plane (4/itemsize units). Undercounting this OOMed the 16 MB scoped
+    # vmem at (24,360,480,64) bf16 — observed on chip, round 3.
+    # ... plus the kernel's f32/i32 stack temporaries (mx32, three
+    # compare masks, k/dy/dx, two iota planes ~ 16 more input-units):
+    # measured 27.5 MB at tile 18x240x64 where block buffers alone
+    # modeled 7.7 MB. 36 units keeps the stack under half the 16 MB cap.
+    nbufs = 36
+    tile_h2 = _pick_tile(h2, w2, c, x.dtype.itemsize, nbufs=nbufs)
     grid = (n, h2 // tile_h2)
     spec = pl.BlockSpec((1, tile_h2, w2, c), lambda n, i: (n, i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -129,7 +138,10 @@ def max_unpool_2x2_pallas(x: jax.Array, idx: jax.Array,
     n, h2, w2, c = x.shape
     ho, wo = out_hw
 
-    tile_h2 = _pick_tile(h2, w2, c, x.dtype.itemsize, nbufs=6)
+    # x + int32 idx inputs, 4 quadrant outputs, double buffering,
+    # plus f32 stack temporaries (xt32, iotas, per-phase masks)
+    nbufs = 36
+    tile_h2 = _pick_tile(h2, w2, c, x.dtype.itemsize, nbufs=nbufs)
     grid = (n, h2 // tile_h2)
     spec = pl.BlockSpec((1, tile_h2, w2, c), lambda n, i: (n, i, 0, 0),
                         memory_space=pltpu.VMEM)

@@ -100,6 +100,27 @@ def max_pool_2x2_with_phase(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return pooled, k
 
 
+def max_pool_2x2_argmax_phase(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """2x2/stride-2 max pool returning (pooled, phase k in [0,4) int8) via
+    the argmax-pool's 6D-transpose candidate form.
+
+    Hybrid of the two measured pools: `max_pool_2x2_with_argmax`'s
+    candidate transpose (which beat the phase pool's strided W/H slices on
+    chip — PERF.md round-3) but WITHOUT the iota expansion to flat int32
+    indices — k is stored directly as int8, 1/4 the index bytes and two
+    fewer full-plane iota/FMA ops. Pairs with `max_unpool_2x2_from_phase`.
+    Tie order is torch's window scan order (argmax first-win), identical
+    to both parents.
+    """
+    n, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    xw = x[:, : 2 * h2, : 2 * w2, :].reshape(n, h2, 2, w2, 2, c)
+    cand = xw.transpose(0, 1, 3, 2, 4, 5).reshape(n, h2, w2, 4, c)
+    k = jnp.argmax(cand, axis=3).astype(jnp.int8)
+    pooled = jnp.max(cand, axis=3)
+    return pooled, k
+
+
 def phase_to_flat_index(k: jax.Array, w_in: int) -> jax.Array:
     """Expand a 2-bit phase plane to torch's flat spatial indices."""
     n, h2, w2, c = k.shape

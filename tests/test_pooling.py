@@ -103,3 +103,24 @@ def test_phase_and_argmax_pairs_agree():
     ua = max_unpool_2x2(pa, idx, (12, 10))
     up = max_unpool_2x2_from_phase(pp, k, (12, 10))
     np.testing.assert_array_equal(np.asarray(ua), np.asarray(up))
+
+
+def test_argmax_phase_pool_matches_torch():
+    # hybrid pool (argmax candidate transpose -> int8 phase, PERF.md r3):
+    # values + unpool placement must match torch exactly, and the phase
+    # must expand to torch's flat index convention
+    from pytorch_camvid_tpu.ops.pooling import max_pool_2x2_argmax_phase
+    for h, w in [(8, 8), (9, 7), (22, 30)]:
+        x = _rand((2, h, w, 4), seed=h * 7 + w)
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        tp, ti = F.max_pool2d(xt, 2, return_indices=True)
+        pooled, k = max_pool_2x2_argmax_phase(jnp.asarray(x))
+        assert k.dtype == jnp.int8
+        np.testing.assert_allclose(np.asarray(pooled),
+                                   tp.permute(0, 2, 3, 1).numpy())
+        np.testing.assert_array_equal(
+            np.asarray(phase_to_flat_index(k, w)),
+            ti.permute(0, 2, 3, 1).numpy())
+        want = F.max_unpool2d(tp, ti, 2, output_size=xt.shape)
+        got = np.asarray(max_unpool_2x2_from_phase(pooled, k, (h, w)))
+        np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy())

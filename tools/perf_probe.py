@@ -97,11 +97,20 @@ def probe_pool_ops(batch, hw=(360, 480), k=30, impl="argmax"):
     import jax.numpy as jnp
     from pytorch_camvid_tpu.ops.pooling import (
         max_pool_2x2_with_argmax, max_unpool_2x2,
-        max_pool_2x2_with_phase, max_unpool_2x2_from_phase)
+        max_pool_2x2_with_phase, max_unpool_2x2_from_phase,
+        max_pool_2x2_argmax_phase)
 
-    if impl == "phase":
+    if impl == "hybrid":
+        pool_fn, unpool_fn, idx_bytes = (
+            max_pool_2x2_argmax_phase, max_unpool_2x2_from_phase, 1)
+    elif impl == "phase":
         pool_fn, unpool_fn, idx_bytes = (
             max_pool_2x2_with_phase, max_unpool_2x2_from_phase, 1)
+    elif impl == "pallas":
+        from pytorch_camvid_tpu.ops.pallas_pool import (
+            max_pool_2x2_argmax_pallas, max_unpool_2x2_pallas)
+        pool_fn, unpool_fn, idx_bytes = (
+            max_pool_2x2_argmax_pallas, max_unpool_2x2_pallas, 4)
     else:
         pool_fn, unpool_fn, idx_bytes = (
             max_pool_2x2_with_argmax, max_unpool_2x2, 4)
@@ -304,7 +313,7 @@ def main():
     ap.add_argument("--mode", type=str, default="fwd",
                     choices=["fwd", "dgrad", "wgrad"])
     ap.add_argument("--pool-impl", type=str, default="argmax",
-                    choices=["argmax", "phase"])
+                    choices=["argmax", "phase", "pallas", "hybrid"])
     args = ap.parse_args()
 
     from pytorch_camvid_tpu.runtime import enable_compilation_cache
