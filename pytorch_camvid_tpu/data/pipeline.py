@@ -36,7 +36,24 @@ class DeviceDataLoader:
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
                  batch_size: int, shuffle: bool = False, seed: int = 0,
-                 drop_last: bool = False, sharding=None):
+                 drop_last: bool = False, sharding=None,
+                 pad_to_batch: bool = False, pad_label: int = 255):
+        # pad_to_batch: pad the split up to a batch_size multiple with
+        # sentinel-label rows INCLUDED in iteration, so every batch has the
+        # full static shape (multi-process eval: host-side ragged-batch
+        # padding would need eager ops on a non-addressable global array).
+        # The 255 sentinel is dropped by both the eval loss and the
+        # confusion matrix, same as the loop's _pad_batch.
+        if pad_to_batch:
+            pad = (-images.shape[0]) % batch_size
+            if pad:
+                images = np.concatenate(
+                    [images, np.zeros((pad,) + images.shape[1:],
+                                      images.dtype)])
+                labels = np.concatenate(
+                    [labels,
+                     np.full((pad,) + labels.shape[1:], pad_label,
+                             labels.dtype)])
         if sharding is not None:
             # sample-axis sharding needs n % n_devices == 0; pad with rows
             # that the index permutation never touches
@@ -48,8 +65,9 @@ class DeviceDataLoader:
                 labels = np.concatenate(
                     [labels, np.zeros((pad,) + labels.shape[1:],
                                       labels.dtype)])
-            self.images = jax.device_put(jnp.asarray(images), sharding)
-            self.labels = jax.device_put(jnp.asarray(labels), sharding)
+            from pytorch_camvid_tpu.parallel.multihost import put_global
+            self.images = put_global(images, sharding)
+            self.labels = put_global(labels, sharding)
             self.n = images.shape[0] - pad
         else:
             self.images = jnp.asarray(images)
@@ -61,6 +79,15 @@ class DeviceDataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self._epoch = 0
+        # multi-process: eager jnp.take on a cross-process global array is
+        # illegal — gather through a jitted program with an explicit
+        # batch-sharded output instead
+        self._jit_gather = None
+        if sharding is not None and jax.process_count() > 1:
+            self._jit_gather = jax.jit(
+                lambda im, lb, ix: (jnp.take(im, ix, axis=0),
+                                    jnp.take(lb, ix, axis=0)),
+                out_shardings=(sharding, sharding))
 
     def __len__(self) -> int:
         if self.drop_last:
@@ -77,6 +104,10 @@ class DeviceDataLoader:
         b = self.batch_size
         stop = self.n - self.n % b if self.drop_last else self.n
         for i in range(0, stop, b):
+            if self._jit_gather is not None:
+                yield self._jit_gather(self.images, self.labels,
+                                       perm[i: i + b])
+                continue
             idx = jnp.asarray(perm[i: i + b])
             im = jnp.take(self.images, idx, axis=0)
             lb = jnp.take(self.labels, idx, axis=0)

@@ -73,7 +73,10 @@ def load_checkpoint(path: str, like: Any, sharding=None):
             raise ValueError(f"leaf {i}: checkpoint shape {arr.shape} != "
                              f"template shape {tmpl.shape}")
         if sharding is not None:
-            arr = jax.device_put(arr, sharding)
+            # put_global: multi-process-safe placement (every process loads
+            # the same file; each materializes only its addressable shards)
+            from pytorch_camvid_tpu.parallel.multihost import put_global
+            arr = put_global(arr, sharding)
         leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, leaves), payload["meta"]
 

@@ -181,6 +181,22 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
         raise ValueError(f"batch size {cfg.batch_size} must divide over "
                          f"{ndev} devices")
 
+    # multi-process (multi-host) runs: every process executes the SAME
+    # SPMD program order over the global mesh (jax.devices() is global);
+    # host-side writes — console, TB, checkpoints — happen on process 0
+    # only. The loader seed contract makes every process compute identical
+    # permutations, so no index broadcast is needed.
+    nproc = jax.process_count()
+    primary = jax.process_index() == 0
+    if nproc > 1:
+        if cfg.loader == "host":
+            raise ValueError(
+                "-loader host is single-process only; multi-host runs use "
+                "the device loader (each host feeds its local shards)")
+        if logger is not None and not primary:
+            logger = None
+    quiet = cfg.quiet or not primary
+
     init_fn, apply_fn = get_model(cfg.net, 3, train_ds.class_num)
     variables = init_fn(jax.random.PRNGKey(cfg.seed))
     opt = adamw(weight_decay=cfg.weight_decay)
@@ -208,7 +224,8 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                                         seed=cfg.seed, drop_last=True,
                                         sharding=bsh)
         val_loader = DeviceDataLoader(val_ds.images, val_ds.labels,
-                                      cfg.batch_size, sharding=bsh)
+                                      cfg.batch_size, sharding=bsh,
+                                      pad_to_batch=nproc > 1)
 
     steps_per_epoch = len(train_loader)
     if steps_per_epoch == 0:
@@ -256,7 +273,8 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                        compute_dtype=dtype), mesh)
 
     if rep is not None:
-        state = jax.device_put(state, rep)
+        from pytorch_camvid_tpu.parallel import put_global_tree
+        state = put_global_tree(jax.tree.map(np.asarray, state), rep)
 
     trained_epochs = 0
     resume_epoch = 0      # epoch a preemption interrupted (0 = none)
@@ -297,6 +315,7 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                 resume_skip = meta.get("resume_batch_idx", 0)
             print("Done loading!")
 
+    ckpt_dir = cfg.checkpoint_dir if primary else None
     best_iou = 0.0  # NOT reset per epoch (fixes SURVEY.md §2.5.4)
     history = []
     n_train = train_ds.images.shape[0]
@@ -318,7 +337,7 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
     # quiet runs with no logger sync metrics to host only every 16 steps
     # (keeps >1-step dispatch depth through a high-latency remote device);
     # interactive/logged runs sync one step behind, every step
-    sync_every = 16 if (cfg.quiet and logger is None) else 1
+    sync_every = 16 if (quiet and logger is None) else 1
 
     applied = 0  # batches applied this run (drives stop_after_batches)
     try:
@@ -341,7 +360,7 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                         f"loss diverged to {loss} at epoch {epoch} step "
                         f"{b_idx} — lower the lr or inspect the data (NaN "
                         "guard; disable with nan_guard=False)")
-                if not cfg.quiet:
+                if not quiet:
                     print("Training Epoch:{epoch} [{seen}/{total}] "
                           "Lr:{lr:0.6f} Loss:{loss:0.4f} Beta1:{beta:0.4f}"
                           .format(epoch=epoch, seen=seen, total=n_train,
@@ -368,9 +387,9 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                 return last
 
             def preempt_save(next_batch_idx):
-                if cfg.checkpoint_dir:
+                if ckpt_dir:
                     save_checkpoint(
-                        checkpoint_name(cfg.checkpoint_dir, epoch - 1,
+                        checkpoint_name(ckpt_dir, epoch - 1,
                                         "preempt"),
                         state, {"epoch": epoch - 1, "net": cfg.net,
                                 "preempted_in_epoch": epoch,
@@ -394,7 +413,9 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                         # never overshoot a deterministic stop point
                         kk = min(kk, max(
                             cfg.stop_after_batches - applied, 1))
-                    idx_k = jnp.asarray(idx_all[pos: pos + kk])
+                    idx_k = (np.ascontiguousarray(idx_all[pos: pos + kk])
+                             if nproc > 1
+                             else jnp.asarray(idx_all[pos: pos + kk]))
                     state, ms = chain_step(state, train_loader.images,
                                            train_loader.labels, idx_k)
                     applied += kk
@@ -432,7 +453,7 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                 logger.scalar("Train/LearningRate", metrics["lr"], epoch)
                 logger.scalar("Train/Beta1", metrics["beta1"], epoch)
                 logger.param_histograms(state.params, epoch)
-            if not cfg.quiet:
+            if not quiet:
                 print(f"time for training epoch {epoch} : "
                       f"{time.time() - start:.2f}s")
 
@@ -440,11 +461,11 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
             loss_sum, cm, n_batches = evaluate(state, eval_step, val_loader,
                                                normalize, cfg.batch_size,
                                                sharding=bsh)
-            if not cfg.quiet:
+            if not quiet:
                 print(f"Evaluation time comsumed:"
                       f"{time.time() - test_start:.2f}s")
             miou, all_acc = print_epoch_metrics(
-                cm, train_ds.class_names, train_ds.ignore_index, cfg.quiet)
+                cm, train_ds.class_names, train_ds.ignore_index, quiet)
             if logger is not None:
                 logger.scalar("Test/mIOU", miou, epoch)
                 logger.scalar("Test/Acc", all_acc, epoch)
@@ -454,17 +475,17 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
             history.append({"epoch": epoch, "miou": miou,
                             "all_acc": all_acc})
 
-            if cfg.checkpoint_dir:
+            if ckpt_dir:
                 meta = {"epoch": epoch, "miou": miou, "net": cfg.net}
                 if best_iou < miou and epoch > cfg.epochs // 2:
                     best_iou = miou
                     save_checkpoint(
-                        checkpoint_name(cfg.checkpoint_dir, epoch, "best"),
+                        checkpoint_name(ckpt_dir, epoch, "best"),
                         state, meta)
                     continue  # same cadence quirk as train.py:232-240
                 if not epoch % cfg.save_epoch:
                     save_checkpoint(
-                        checkpoint_name(cfg.checkpoint_dir, epoch,
+                        checkpoint_name(ckpt_dir, epoch,
                                         "regular"), state, meta)
     finally:
         # restore on EVERY exit (including exceptions like the nan_guard

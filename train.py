@@ -66,7 +66,19 @@ if __name__ == "__main__":
                         help="train steps dispatched per host round-trip "
                         "(lax.scan-chained; device loader only; 1 = "
                         "step-per-dispatch like the reference loop)")
+    parser.add_argument("-multihost", action="store_true", default=False,
+                        help="initialize the JAX distributed runtime for "
+                        "multi-process (pod) training: auto-detects TPU "
+                        "pod metadata, or set PCT_COORDINATOR / "
+                        "PCT_NUM_PROCS / PCT_PROC_ID; process 0 owns "
+                        "console/TB/checkpoint writes")
     args = parser.parse_args()
+    if args.multihost:
+        # must run before any other jax use (the backend freezes at first
+        # device query); every process then sees the GLOBAL device mesh
+        from pytorch_camvid_tpu.parallel import init_distributed
+        pidx, pcnt = init_distributed()
+        print(f"multihost: process {pidx}/{pcnt}")
     image_size = (tuple(args.image_size) if args.image_size
                   else settings.IMAGE_SIZE)
 
