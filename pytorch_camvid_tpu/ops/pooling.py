@@ -46,21 +46,8 @@ def max_pool_2x2_with_argmax(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     encoded row-major as y*W + x (torch MaxPool2d(return_indices=True)
     convention, models/segnet.py:79).
     """
-    n, h, w, c = x.shape
-    h2, w2 = h // 2, w // 2
-    xw = x[:, : 2 * h2, : 2 * w2, :].reshape(n, h2, 2, w2, 2, c)
-    # candidates in window scan order (0,0),(0,1),(1,0),(1,1). (A
-    # strided-slice variant without the transpose was measured SLOWER for
-    # c=64/128 — alternate-64-channel slices break the 128-lane tile —
-    # and only marginally faster at c>=256; this form stays.)
-    cand = xw.transpose(0, 1, 3, 2, 4, 5).reshape(n, h2, w2, 4, c)
-    k = jnp.argmax(cand, axis=3)  # (n, h2, w2, c) in [0,4)
-    pooled = jnp.max(cand, axis=3)
-    dy, dx = k // 2, k % 2
-    yy = 2 * jax.lax.broadcasted_iota(jnp.int32, (n, h2, w2, c), 1) + dy
-    xx = 2 * jax.lax.broadcasted_iota(jnp.int32, (n, h2, w2, c), 2) + dx
-    idx = (yy * w + xx).astype(jnp.int32)
-    return pooled, idx
+    pooled, k = max_pool_2x2_argmax_phase(x)
+    return pooled, phase_to_flat_index(k, x.shape[2])
 
 
 def max_pool_2x2_with_phase(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -115,6 +102,12 @@ def max_pool_2x2_argmax_phase(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     n, h, w, c = x.shape
     h2, w2 = h // 2, w // 2
     xw = x[:, : 2 * h2, : 2 * w2, :].reshape(n, h2, 2, w2, 2, c)
+    # candidates in window scan order (0,0),(0,1),(1,0),(1,1). (A
+    # strided-slice variant without the transpose was measured SLOWER for
+    # c=64/128 — alternate-64-channel slices break the 128-lane tile —
+    # and only marginally faster at c>=256; this form stays. This is the
+    # ONE implementation of the candidate form: max_pool_2x2_with_argmax
+    # is this + phase_to_flat_index.)
     cand = xw.transpose(0, 1, 3, 2, 4, 5).reshape(n, h2, w2, 4, c)
     k = jnp.argmax(cand, axis=3).astype(jnp.int8)
     pooled = jnp.max(cand, axis=3)

@@ -71,9 +71,11 @@ def put_global(x, sharding):
     process: a plain ``device_put``. Multi-process: each process
     materializes only its addressable shards via
     ``jax.make_array_from_callback`` (no cross-host transfer)."""
-    x = np.asarray(x)
     if jax.process_count() == 1:
+        # device_put accepts host OR device arrays — no host round-trip
+        # for already-placed single-process trees
         return jax.device_put(x, sharding)
+    x = np.asarray(x)
     return jax.make_array_from_callback(x.shape, sharding,
                                         lambda idx: x[idx])
 

@@ -188,6 +188,7 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
     # permutations, so no index broadcast is needed.
     nproc = jax.process_count()
     primary = jax.process_index() == 0
+    had_logger = logger is not None
     if nproc > 1:
         if cfg.loader == "host":
             raise ValueError(
@@ -274,7 +275,7 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
 
     if rep is not None:
         from pytorch_camvid_tpu.parallel import put_global_tree
-        state = put_global_tree(jax.tree.map(np.asarray, state), rep)
+        state = put_global_tree(state, rep)
 
     trained_epochs = 0
     resume_epoch = 0      # epoch a preemption interrupted (0 = none)
@@ -301,7 +302,8 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                                        jnp.int32),
                                    rng=state.rng)
                 if rep is not None:
-                    state = jax.device_put(state, rep)
+                    from pytorch_camvid_tpu.parallel import put_global_tree
+                    state = put_global_tree(state, rep)
             else:
                 state, meta = load_checkpoint(weight_path, state,
                                               sharding=rep)
@@ -337,7 +339,12 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
     # quiet runs with no logger sync metrics to host only every 16 steps
     # (keeps >1-step dispatch depth through a high-latency remote device);
     # interactive/logged runs sync one step behind, every step
-    sync_every = 16 if (quiet and logger is None) else 1
+    # the sync cadence must be IDENTICAL on every process: a process-local
+    # cadence desynchronizes the nan_guard abort step, and surviving
+    # processes then dispatch collective train steps the aborted one never
+    # joins (pod hang). Multi-process: cfg.quiet alone decides (the logger
+    # exists only on the primary); single-process: original semantics.
+    sync_every = 16 if (cfg.quiet and (nproc > 1 or not had_logger)) else 1
 
     applied = 0  # batches applied this run (drives stop_after_batches)
     try:

@@ -60,19 +60,15 @@ class SummaryLogger:
         import jax.numpy as jnp
         if jax.process_count() > 1:
             # multi-process: only the primary logs, and a primary-only jit
-            # over cross-process params would desynchronize the SPMD
-            # program order across processes — read the local replica and
-            # reduce in numpy instead (same TB surface)
-            stats = []
-            for leaf in jax.tree_util.tree_leaves(params):
-                x = np.asarray(leaf, np.float32).reshape(-1)
-                mn, mx = float(x.min()), float(x.max())
-                span = max(mx - mn, 1e-12)
-                b = np.clip((x - mn) / span * 64.0, 0.0, 63.0).astype(int)
-                stats.append((np.bincount(b, minlength=64), mn, mx,
-                              float(x.sum()), float((x * x).sum())))
-            self._write_hists(params, stats, epoch)
-            return
+            # over cross-process GLOBAL params would desynchronize the SPMD
+            # program order across processes — run the same on-device
+            # reduction on the LOCAL replica instead (params are fully
+            # replicated, so addressable shard 0 is the whole tensor): the
+            # jit is then purely local, and only 64 buckets + moments
+            # (~55 KB) cross to host, not the ~138 MB of raw params
+            params = jax.tree.map(
+                lambda l: l.addressable_data(0)
+                if hasattr(l, "addressable_data") else l, params)
         if not hasattr(self, "_hist_fn"):
             @jax.jit
             def hist_all(ps):

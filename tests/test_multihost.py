@@ -51,7 +51,21 @@ class DS:
 cfg = TrainConfig(net="unet", batch_size=4, lr=1e-3, epochs=1, seed=0,
                   checkpoint_dir=sys.argv[4] or None, save_epoch=1,
                   dispatch_chain=4)
-state, history = run_training(cfg, DS(8, seed=3), DS(4, seed=4))
+# primary-only logger, like the CLI: exercises the multi-process TB branch
+# (param histograms reduced via a jit over the LOCAL replica — a
+# primary-only jit over global params would desync the SPMD program order)
+logger = None
+if pid == 0 and sys.argv[4]:
+    from pytorch_camvid_tpu.utils import SummaryLogger
+    logger = SummaryLogger(os.path.join(sys.argv[4], "runs"))
+
+# val=6 with batch 4: the multi-process eval loader pads the second batch
+# with 2 sentinel-255 rows (the pad_to_batch path) — miou must still match
+# the single-process run, which pads the ragged batch host-side instead
+state, history = run_training(cfg, DS(8, seed=3), DS(6, seed=4),
+                              logger=logger)
+if logger is not None:
+    logger.close()
 checksum = float(sum(float(np.abs(np.asarray(p)).sum())
                      for p in jax.tree.leaves(state.params)))
 print(f"RESULT pid={pid} miou={history[-1]['miou']:.10f} "

@@ -73,11 +73,13 @@ if __name__ == "__main__":
                         "PCT_NUM_PROCS / PCT_PROC_ID; process 0 owns "
                         "console/TB/checkpoint writes")
     args = parser.parse_args()
+    primary = True
     if args.multihost:
         # must run before any other jax use (the backend freezes at first
         # device query); every process then sees the GLOBAL device mesh
         from pytorch_camvid_tpu.parallel import init_distributed
         pidx, pcnt = init_distributed()
+        primary = pidx == 0
         print(f"multihost: process {pidx}/{pcnt}")
     image_size = (tuple(args.image_size) if args.image_size
                   else settings.IMAGE_SIZE)
@@ -87,8 +89,12 @@ if __name__ == "__main__":
     checkpoint_path = os.path.join(settings.CHECKPOINT_FOLDER,
                                    settings.TIME_NOW)
     log_dir = os.path.join(settings.LOG_FOLDER, settings.TIME_NOW)
-    os.makedirs(checkpoint_path, exist_ok=True)
-    os.makedirs(log_dir, exist_ok=True)
+    if primary:
+        # multihost: only process 0 owns checkpoints/TB — creating dirs on
+        # every process would strew per-process TIME_NOW folders (and TB
+        # event files) across a shared filesystem
+        os.makedirs(checkpoint_path, exist_ok=True)
+        os.makedirs(log_dir, exist_ok=True)
 
     loss_ignore = None
     if args.dataset == "voc2012":
@@ -118,9 +124,10 @@ if __name__ == "__main__":
         loader=args.loader, grad_accum=args.accum,
         dispatch_chain=args.chain)
 
-    logger = SummaryLogger(log_dir)
+    logger = SummaryLogger(log_dir) if primary else None
     try:
         run_training(cfg, train_dataset, valid_dataset, settings=settings,
                      logger=logger)
     finally:
-        logger.close()
+        if logger is not None:
+            logger.close()
