@@ -16,6 +16,7 @@ is re-expressed as a dense gather — see ops/pooling.py.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -57,6 +58,18 @@ def init_segnet(key: jax.Array, input_channels: int = 3, class_num: int = 12):
     return {"params": params, "state": state}
 
 
+def _pool_impl() -> str:
+    """Production pool/unpool pair selector: the Pallas packed-phase pair
+    on TPU, the XLA argmax pair elsewhere (CPU tests/dryrun run the same
+    math through ops/pooling.py). Override with PCT_POOL_IMPL=argmax /
+    pallas_phase."""
+    impl = os.environ.get("PCT_POOL_IMPL", "")
+    if impl:
+        return impl
+    return ("pallas_phase" if jax.default_backend() == "tpu"
+            else "argmax")
+
+
 def apply_segnet(variables, x: jax.Array, *, train: bool = False,
                  axis_name: Optional[str] = None,
                  compute_dtype=jnp.float32, use_pallas: bool = False):
@@ -84,11 +97,21 @@ def apply_segnet(variables, x: jax.Array, *, train: bool = False,
             max_pool_2x2_argmax_pallas, max_unpool_2x2_pallas)
         pool_fn, unpool_fn = (max_pool_2x2_argmax_pallas,
                               max_unpool_2x2_pallas)
+    elif _pool_impl() == "pallas_phase":
+        # TPU production pair (round 3): packed-view Pallas pool emitting
+        # int8 phases + natural-layout Pallas unpool, custom VJPs reusing
+        # the same kernels for the backward — measured faster than the
+        # XLA argmax pair per-pair and in the full train step (PERF.md
+        # round-3 pool section; HARDWARE.md ledger)
+        from pytorch_camvid_tpu.ops.pallas_pool import (
+            pool_phase_packed_train, unpool_phase_packed_train)
+        pool_fn, unpool_fn = (pool_phase_packed_train,
+                              unpool_phase_packed_train)
     else:
-        # argmax pair stays: the int8-phase pair (ops/pooling.py) was
-        # measured SLOWER both standalone (54.7 vs 35.3 ms across the 5
-        # pairs) and in the full train step (81.9 vs 104.3 img/s) —
-        # PERF.md round-3 pool section
+        # XLA backends (CPU tests/dryrun, and PCT_POOL_IMPL=argmax escape
+        # hatch): the argmax pair — the XLA int8-phase pair was measured
+        # SLOWER (54.7 vs 35.3 ms standalone, 81.9 vs 104.3 img/s in the
+        # full train step) — PERF.md round-3 pool section
         pool_fn, unpool_fn = max_pool_2x2_with_argmax, max_unpool_2x2
 
     x = x.astype(compute_dtype)

@@ -108,6 +108,260 @@ def max_pool_2x2_argmax_pallas(x: jax.Array, interpret: bool = False
     )(*quads)
 
 
+# ---------------------------------------------------------------------------
+# Packed-layout phase pair (round 3). The quadrant kernels above make XLA
+# materialize 4 strided-slice copies of the full input before the kernel
+# ever runs (and re-interleave 4 outputs after the unpool) — measured at
+# 31.8 ms for SegNet's stage-1 pool+unpool pair at b24, WORSE than the
+# pure-XLA argmax pair's 19.7 (run_artifacts/probe_pool_pallas_b24.jsonl
+# vs probe_pool_b24.jsonl; HBM bound 2.3). This pair instead feeds the
+# kernel the input under two FREE reshapes,
+#
+#     (N, H, W, C) -> (N, H2, 2, W2, 2C)      (row-major bitcast views)
+#
+# so the 2x2 window structure is addressable without any strided copy:
+# the H pair is a unit index on dim 2, and the W pair is the lane halves
+# [..:C] / [C..] of a 2C-lane register (C=64 -> exactly one 128-lane
+# vreg). Index planes are 2-bit phases stored as int8 (k = 2*dy + dx,
+# 1/4 the bytes of torch's flat int32), and the unpool writes the big
+# domain through the same packed view. Traffic is the true minimum:
+# pool reads X + writes X/4 + X/8; unpool the mirror.
+# ---------------------------------------------------------------------------
+
+
+def _pool_packed_kernel(x_ref, out_ref, k_ref, *, c: int):
+    xt = x_ref[0]                          # (TH, 2, W2, 2C)
+    a = xt[:, 0].astype(jnp.float32)       # even input rows (TH, W2, 2C)
+    b = xt[:, 1].astype(jnp.float32)       # odd input rows
+    a0, a1 = a[..., :c], a[..., c:]        # W pair = lane halves
+    b0, b1 = b[..., :c], b[..., c:]
+    # torch first-max tie order (0,0),(0,1),(1,0),(1,1): within each row
+    # the right column wins only if strictly greater; row 1 wins only if
+    # strictly greater (compares in f32 — exact for bf16 inputs; int
+    # arithmetic instead of where-chains, which hit Mosaic i1 relayouts)
+    dx0 = (a1 > a0).astype(jnp.int32)
+    dx1 = (b1 > b0).astype(jnp.int32)
+    row0 = jnp.maximum(a0, a1)
+    row1 = jnp.maximum(b0, b1)
+    dy = (row1 > row0).astype(jnp.int32)
+    pooled = jnp.maximum(row0, row1)
+    k = dy * (2 + dx1) + (1 - dy) * dx0
+    out_ref[0] = pooled.astype(out_ref.dtype)
+    k_ref[0] = k.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def max_pool_2x2_phase_packed(x: jax.Array, interpret: bool = False
+                              ) -> Tuple[jax.Array, jax.Array]:
+    """Fused 2x2/stride-2 max pool -> (pooled, int8 phase k in [0,4)).
+
+    Drop-in for ops/pooling.py's ``max_pool_2x2_argmax_phase`` (bit-equal
+    pooled + k, torch tie order); floors odd spatial dims like torch."""
+    n, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    xr = x[:, : 2 * h2, : 2 * w2, :].reshape(n, h2, 2, w2, 2 * c)
+
+    # VMEM per H2-row in input units (t * w2 * 2c * itemsize): in 1 + out
+    # 0.25+0.0625, x2 double buffering, + ~10 f32 stack planes of
+    # (t, w2, c) = 10 * (itemsize==2 and 1.0 or 0.5) input units
+    tile_h2 = _pick_tile(h2, w2, 2 * c, x.dtype.itemsize, nbufs=16)
+    grid = (n, h2 // tile_h2)
+    in_spec = pl.BlockSpec((1, tile_h2, 2, w2, 2 * c),
+                           lambda n, i: (n, i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, tile_h2, w2, c), lambda n, i: (n, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_pool_packed_kernel, c=c)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h2, w2, c), x.dtype),
+            jax.ShapeDtypeStruct((n, h2, w2, c), jnp.int8),
+        ],
+        interpret=interpret,
+    )(xr)
+
+
+def _unpool_packed_kernel(x_ref, k_ref, o_ref, *, c: int):
+    xt = x_ref[0].astype(jnp.float32)      # (TH, W2, C)
+    kt = k_ref[0].astype(jnp.int32)
+
+    def ph(j):
+        return (kt == j).astype(jnp.float32) * xt
+
+    # output phase (dy, dx) holds x where k selected it; W phases pack
+    # into lane halves, H phases into the unit dim of the packed view
+    r0 = jnp.concatenate([ph(0), ph(1)], axis=-1)   # (TH, W2, 2C)
+    r1 = jnp.concatenate([ph(2), ph(3)], axis=-1)
+    o_ref[0, :, 0] = r0.astype(o_ref.dtype)
+    o_ref[0, :, 1] = r1.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "interpret"))
+def max_unpool_2x2_phase_packed(x: jax.Array, k: jax.Array,
+                                out_hw: Tuple[int, int],
+                                interpret: bool = False) -> jax.Array:
+    """Invert max_pool_2x2_phase_packed through the packed output view;
+    odd out_hw rows/cols beyond the even core were never pooled from and
+    stay zero (torch output_size semantics, models/segnet.py:104)."""
+    n, h2, w2, c = x.shape
+    ho, wo = out_hw
+    tile_h2 = _pick_tile(h2, w2, 2 * c, x.dtype.itemsize, nbufs=16)
+    grid = (n, h2 // tile_h2)
+    in_spec = pl.BlockSpec((1, tile_h2, w2, c), lambda n, i: (n, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, tile_h2, 2, w2, 2 * c),
+                            lambda n, i: (n, i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_unpool_packed_kernel, c=c)
+    packed = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_spec, in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h2, 2, w2, 2 * c), x.dtype),
+        interpret=interpret,
+    )(x, k)
+    out = packed.reshape(n, 2 * h2, 2 * w2, c)     # free (row-major)
+    pad_h, pad_w = max(ho - 2 * h2, 0), max(wo - 2 * w2, 0)
+    if pad_h or pad_w:
+        out = jnp.pad(out, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    return out[:, :ho, :wo, :]
+
+
+def _unpool_grad_kernel(g_ref, k_ref, o_ref, *, c: int):
+    gt = g_ref[0]                          # (TH, 2, W2, 2C)
+    kt = k_ref[0].astype(jnp.int32)
+    g0 = gt[:, 0].astype(jnp.float32)
+    g1 = gt[:, 1].astype(jnp.float32)
+    q = (g0[..., :c], g0[..., c:], g1[..., :c], g1[..., c:])
+    sel = sum((kt == j).astype(jnp.float32) * q[j] for j in range(4))
+    o_ref[0] = sel.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _unpool_phase_packed_grad(g: jax.Array, k: jax.Array,
+                              interpret: bool = False) -> jax.Array:
+    """VJP of the packed unpool wrt x: gather g at each window's phase —
+    structurally the pool kernel with the argmax replayed from k."""
+    n, h2, w2, c = k.shape
+    gr = g[:, : 2 * h2, : 2 * w2, :].reshape(n, h2, 2, w2, 2 * c)
+    tile_h2 = _pick_tile(h2, w2, 2 * c, g.dtype.itemsize, nbufs=16)
+    grid = (n, h2 // tile_h2)
+    g_spec = pl.BlockSpec((1, tile_h2, 2, w2, 2 * c),
+                          lambda n, i: (n, i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, tile_h2, w2, c), lambda n, i: (n, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(_unpool_grad_kernel, c=c)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[g_spec, s_spec],
+        out_specs=s_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h2, w2, c), g.dtype),
+        interpret=interpret,
+    )(gr, k)
+
+
+# ---- natural-layout unpool: the packed output view costs a tiled-layout
+# relayout copy of the BIG tensor after the kernel ((W2, 2C) tiles order
+# elements differently than (W, C) tiles even though linear memory
+# agrees — observed as a bf16[24,360,480,64] %copy in HLO, ~2.7 ms of
+# pure relayout at stage 1 b24 on top of the 1.3 ms copy bound). This
+# variant writes blocks of the (N, H2, 2, W, C) view instead — a LEADING-
+# dim regroup of natural NHWC that leaves the tiled (W, C) plane intact,
+# i.e. a true bitcast — and interleaves the W pairs INSIDE the kernel
+# with a stack+merge (the one sublane restructuring Mosaic handles; the
+# splitting direction, needed for a natural-input pool, is rejected as an
+# unsupported >2D gather — measured, see HARDWARE.md round 3).
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "interpret"))
+def max_unpool_2x2_phase_nat(x: jax.Array, k: jax.Array,
+                             out_hw: Tuple[int, int],
+                             interpret: bool = False) -> jax.Array:
+    """Invert max_pool_2x2_phase_packed with natural-layout output blocks
+    (in-kernel W interleave, free H regroup — no relayout copies); odd
+    out_hw rows/cols stay zero (torch output_size, models/segnet.py:104)."""
+    n, h2, w2, c = x.shape
+    ho, wo = out_hw
+    w = 2 * w2
+    tile_h2 = _pick_tile(h2, w2, 2 * c, x.dtype.itemsize, nbufs=16)
+
+    def kern(x_ref, k_ref, o_ref):
+        xt = x_ref[0].astype(jnp.float32)      # (TH, W2, C)
+        kt = k_ref[0].astype(jnp.int32)
+
+        def ph(j):
+            return (kt == j).astype(jnp.float32) * xt
+
+        r0 = jnp.stack([ph(0), ph(1)], axis=2).reshape(tile_h2, w, c)
+        r1 = jnp.stack([ph(2), ph(3)], axis=2).reshape(tile_h2, w, c)
+        o_ref[0, :, 0] = r0.astype(o_ref.dtype)
+        o_ref[0, :, 1] = r1.astype(o_ref.dtype)
+
+    sm = pl.BlockSpec((1, tile_h2, w2, c), lambda n, i: (n, i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    big = pl.BlockSpec((1, tile_h2, 2, w, c), lambda n, i: (n, i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern, grid=(n, h2 // tile_h2), in_specs=[sm, sm], out_specs=big,
+        out_shape=jax.ShapeDtypeStruct((n, h2, 2, w, c), x.dtype),
+        interpret=interpret,
+    )(x, k)
+    out = out.reshape(n, 2 * h2, w, c)         # leading regroup: bitcast
+    pad_h, pad_w = max(ho - 2 * h2, 0), max(wo - 2 * w2, 0)
+    if pad_h or pad_w:
+        out = jnp.pad(out, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    return out[:, :ho, :wo, :]
+
+
+# ---- training pair: the same kernels with custom VJPs (pool backward IS
+# the unpool kernel on the saved phase; unpool backward is the phase
+# gather) — so SegNet's backward pays the same minimal HBM traffic
+
+
+@jax.custom_vjp
+def pool_phase_packed_train(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    return max_pool_2x2_phase_packed(x)
+
+
+def _pool_train_fwd(x):
+    pooled, k = max_pool_2x2_phase_packed(x)
+    return (pooled, k), (k, x.shape)
+
+
+def _pool_train_bwd(res, g):
+    k, xshape = res
+    gp = g[0]                  # cotangent wrt k (int8) is symbolic zero
+    gx = max_unpool_2x2_phase_nat(gp, k, (xshape[1], xshape[2]))
+    return (gx,)
+
+
+pool_phase_packed_train.defvjp(_pool_train_fwd, _pool_train_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def unpool_phase_packed_train(x: jax.Array, k: jax.Array,
+                              out_hw: Tuple[int, int]) -> jax.Array:
+    return max_unpool_2x2_phase_nat(x, k, out_hw)
+
+
+def _unpool_train_fwd(x, k, out_hw):
+    return max_unpool_2x2_phase_nat(x, k, out_hw), k
+
+
+def _unpool_train_bwd(out_hw, k, g):
+    return (_unpool_phase_packed_grad(g, k), None)
+
+
+unpool_phase_packed_train.defvjp(_unpool_train_fwd, _unpool_train_bwd)
+
+
 def _unpool_kernel(x_ref, idx_ref, o00, o01, o10, o11, *, w_out: int,
                    tile_h2: int):
     xt = x_ref[0]

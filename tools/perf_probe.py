@@ -111,6 +111,12 @@ def probe_pool_ops(batch, hw=(360, 480), k=30, impl="argmax"):
             max_pool_2x2_argmax_pallas, max_unpool_2x2_pallas)
         pool_fn, unpool_fn, idx_bytes = (
             max_pool_2x2_argmax_pallas, max_unpool_2x2_pallas, 4)
+    elif impl == "packed":
+        # the round-3 TPU production pair (models/segnet.py _pool_impl)
+        from pytorch_camvid_tpu.ops.pallas_pool import (
+            max_pool_2x2_phase_packed, max_unpool_2x2_phase_nat)
+        pool_fn, unpool_fn, idx_bytes = (
+            max_pool_2x2_phase_packed, max_unpool_2x2_phase_nat, 1)
     else:
         pool_fn, unpool_fn, idx_bytes = (
             max_pool_2x2_with_argmax, max_unpool_2x2, 4)
@@ -313,7 +319,8 @@ def main():
     ap.add_argument("--mode", type=str, default="fwd",
                     choices=["fwd", "dgrad", "wgrad"])
     ap.add_argument("--pool-impl", type=str, default="argmax",
-                    choices=["argmax", "phase", "pallas", "hybrid"])
+                    choices=["argmax", "phase", "pallas", "hybrid",
+                             "packed"])
     args = ap.parse_args()
 
     from pytorch_camvid_tpu.runtime import enable_compilation_cache
