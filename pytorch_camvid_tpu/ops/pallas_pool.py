@@ -22,6 +22,8 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -320,18 +322,167 @@ def max_unpool_2x2_phase_nat(x: jax.Array, k: jax.Array,
     return out[:, :ho, :wo, :]
 
 
+# ---- MXU-selection variants: the packed INPUT view above still costs a
+# relayout copy of the big tensor before the kernel (its tiled plane
+# changes (W,C)->(W2,2C)); measured ~4.3 ms at stage 1 b24 against a
+# ~1.7 ms kernel. These variants read blocks of the FREE H-regroup view
+# (N, H2, 2, W, C) instead and do the W-pair selection ON THE MXU: one
+# 0/1 selection matrix per parity, contracted over W with [row_a|row_b]
+# lane-concatenated so a single (W2, W) @ (W, 2C) dot yields both H rows'
+# selected columns (full 128+ lanes of N per dot). Selection by matmul
+# is EXACT (one nonzero per output row, f32 accumulation) — but only at
+# Precision.HIGHEST: the TPU MXU's default f32 matmul path rounds inputs
+# to bf16 (observed on chip: outputs were bf16-quantized), while HIGHEST
+# multi-pass decomposition reconstructs x*1.0 exactly; bf16 inputs are a
+# single exact pass either way, so the production (bf16) cost is
+# unchanged. Measured
+# faster than packed+relayout at stage 1 (7.1 vs 8.6 ms in-chain); the
+# production train pair below uses them so the pool system has ZERO
+# XLA-side relayouts: MXU pool fwd, nat unpool (pool bwd + unpool fwd),
+# MXU phase-gather (unpool bwd).
+
+
+def _sel_matrices(w2: int, w: int, dtype):
+    se = np.zeros((w2, w), np.float32)
+    so = np.zeros((w2, w), np.float32)
+    se[np.arange(w2), 2 * np.arange(w2)] = 1.0
+    so[np.arange(w2), 2 * np.arange(w2) + 1] = 1.0
+    return jnp.asarray(se, dtype), jnp.asarray(so, dtype)
+
+
+def _pool_mxu_kernel(se_ref, so_ref, x_ref, o_ref, k_ref, *, tile_h2: int,
+                     c: int):
+    se = se_ref[...]
+    so = so_ref[...]
+    # HIGHEST keeps f32 inputs exact (default MXU f32 rounds to bf16 —
+    # observed on chip); Mosaic rejects HIGHEST for bf16 operands ("Bad
+    # lhs type"), where the single pass is already exact.
+    prec = (jax.lax.Precision.HIGHEST if se.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+    for i in range(tile_h2):
+        ab = jnp.concatenate([x_ref[0, i, 0], x_ref[0, i, 1]],
+                             axis=-1)      # (W, 2C) = [row 2i | row 2i+1]
+        e = dot(se, ab)                    # (W2, 2C) f32: [a0 | b0]
+        o = dot(so, ab)                    # (W2, 2C) f32: [a1 | b1]
+        a0, b0 = e[:, :c], e[:, c:]
+        a1, b1 = o[:, :c], o[:, c:]
+        dx0 = (a1 > a0).astype(jnp.int32)  # torch scan order, first-win
+        dx1 = (b1 > b0).astype(jnp.int32)
+        r0 = jnp.maximum(a0, a1)
+        r1 = jnp.maximum(b0, b1)
+        dy = (r1 > r0).astype(jnp.int32)
+        o_ref[0, i] = jnp.maximum(r0, r1).astype(o_ref.dtype)
+        k_ref[0, i] = (dy * (2 + dx1) + (1 - dy) * dx0).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def max_pool_2x2_phase_mxu(x: jax.Array, interpret: bool = False
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """2x2/stride-2 max pool -> (pooled, int8 phase); bit-equal to
+    max_pool_2x2_phase_packed, natural-layout input (no relayout)."""
+    n, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    xh = x[:, : 2 * h2, : 2 * w2, :].reshape(n, h2, 2, 2 * w2, c)
+    se, so = _sel_matrices(w2, 2 * w2, x.dtype)
+    tile_h2 = _pick_tile(h2, w2, 2 * c, x.dtype.itemsize, nbufs=16)
+    sel_spec = pl.BlockSpec((w2, 2 * w2), lambda n, i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec((1, tile_h2, 2, 2 * w2, c),
+                           lambda n, i: (n, i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, tile_h2, w2, c), lambda n, i: (n, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_pool_mxu_kernel, tile_h2=tile_h2, c=c)
+    return pl.pallas_call(
+        kernel, grid=(n, h2 // tile_h2),
+        in_specs=[sel_spec, sel_spec, in_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((n, h2, w2, c), x.dtype),
+                   jax.ShapeDtypeStruct((n, h2, w2, c), jnp.int8)],
+        interpret=interpret,
+    )(se, so, xh)
+
+
+def _unpool_grad_mxu_kernel(se_ref, so_ref, g_ref, k_ref, o_ref, *,
+                            tile_h2: int, c: int):
+    se = se_ref[...]
+    so = so_ref[...]
+    # HIGHEST keeps f32 inputs exact (default MXU f32 rounds to bf16 —
+    # observed on chip); Mosaic rejects HIGHEST for bf16 operands ("Bad
+    # lhs type"), where the single pass is already exact.
+    prec = (jax.lax.Precision.HIGHEST if se.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+    for i in range(tile_h2):
+        g01 = jnp.concatenate([g_ref[0, i, 0], g_ref[0, i, 1]],
+                              axis=-1)     # (W, 2C) = [g row 2i | 2i+1]
+        e = dot(se, g01)                   # (W2, 2C): [q0 | q2]
+        o = dot(so, g01)                   # (W2, 2C): [q1 | q3]
+        q = (e[:, :c], o[:, :c], e[:, c:], o[:, c:])
+        kt = k_ref[0, i].astype(jnp.int32)
+        sel = sum((kt == j).astype(jnp.float32) * q[j] for j in range(4))
+        o_ref[0, i] = sel.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _unpool_phase_grad_mxu(g: jax.Array, k: jax.Array,
+                           interpret: bool = False) -> jax.Array:
+    """VJP of the unpool wrt x: gather g at each window's saved phase —
+    natural-layout g (no relayout); MXU selection like the pool."""
+    n, h2, w2, c = k.shape
+    gh = g[:, : 2 * h2, : 2 * w2, :].reshape(n, h2, 2, 2 * w2, c)
+    se, so = _sel_matrices(w2, 2 * w2, g.dtype)
+    tile_h2 = _pick_tile(h2, w2, 2 * c, g.dtype.itemsize, nbufs=16)
+    sel_spec = pl.BlockSpec((w2, 2 * w2), lambda n, i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, tile_h2, 2, 2 * w2, c),
+                          lambda n, i: (n, i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, tile_h2, w2, c), lambda n, i: (n, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(_unpool_grad_mxu_kernel, tile_h2=tile_h2,
+                               c=c)
+    return pl.pallas_call(
+        kernel, grid=(n, h2 // tile_h2),
+        in_specs=[sel_spec, sel_spec, g_spec, s_spec],
+        out_specs=s_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h2, w2, c), g.dtype),
+        interpret=interpret,
+    )(se, so, gh, k)
+
+
 # ---- training pair: the same kernels with custom VJPs (pool backward IS
 # the unpool kernel on the saved phase; unpool backward is the phase
 # gather) — so SegNet's backward pays the same minimal HBM traffic
 
 
+def _pool_fwd_impl():
+    """Production pool forward / unpool backward: "mxu" (natural-layout
+    MXU selection, no relayout — default) or "packed" (packed-view
+    kernel, one input relayout). PCT_POOL_SEL overrides; both bit-equal."""
+    import os
+    return os.environ.get("PCT_POOL_SEL", "mxu")
+
+
 @jax.custom_vjp
 def pool_phase_packed_train(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    return max_pool_2x2_phase_packed(x)
+    if _pool_fwd_impl() == "packed":
+        return max_pool_2x2_phase_packed(x)
+    return max_pool_2x2_phase_mxu(x)
 
 
 def _pool_train_fwd(x):
-    pooled, k = max_pool_2x2_phase_packed(x)
+    if _pool_fwd_impl() == "packed":
+        pooled, k = max_pool_2x2_phase_packed(x)
+    else:
+        pooled, k = max_pool_2x2_phase_mxu(x)
     return (pooled, k), (k, x.shape)
 
 
@@ -356,7 +507,9 @@ def _unpool_train_fwd(x, k, out_hw):
 
 
 def _unpool_train_bwd(out_hw, k, g):
-    return (_unpool_phase_packed_grad(g, k), None)
+    if _pool_fwd_impl() == "packed":
+        return (_unpool_phase_packed_grad(g, k), None)
+    return (_unpool_phase_grad_mxu(g, k), None)
 
 
 unpool_phase_packed_train.defvjp(_unpool_train_fwd, _unpool_train_bwd)

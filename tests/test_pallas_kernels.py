@@ -104,6 +104,32 @@ def test_packed_phase_unpool_matches_phase_mask_including_odd():
                                           np.asarray(want))
 
 
+def test_mxu_phase_pool_matches_packed():
+    """MXU-selection pool (natural layout, selection matmuls) is bit-equal
+    to the packed-view kernel and the lax reference, ties included."""
+    from pytorch_camvid_tpu.ops.pallas_pool import max_pool_2x2_phase_mxu
+    from pytorch_camvid_tpu.ops.pooling import max_pool_2x2_argmax_phase
+    rng = np.random.default_rng(21)
+    for h, w, c in [(12, 16, 4), (9, 7, 3), (8, 8, 64)]:
+        x = jnp.asarray(np.round(rng.normal(size=(2, h, w, c)) * 2) / 2
+                        ).astype(jnp.float32)
+        want_p, want_k = max_pool_2x2_argmax_phase(x)
+        got_p, got_k = max_pool_2x2_phase_mxu(x, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+
+
+def test_mxu_unpool_grad_matches_packed_grad():
+    from pytorch_camvid_tpu.ops import pallas_pool as pp
+    rng = np.random.default_rng(22)
+    g = jnp.asarray(rng.normal(size=(2, 12, 16, 4)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 12, 16, 4)).astype(np.float32))
+    _, k = pp.max_pool_2x2_phase_packed(x, interpret=True)
+    want = pp._unpool_phase_packed_grad(g, k, interpret=True)
+    got = pp._unpool_phase_grad_mxu(g, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_packed_phase_train_pair_grads_match_xla_autodiff():
     """custom-VJP pool/unpool pair vs jax.grad through the lax
     compositions (ops/pooling.py) — same loss, same gradient."""
@@ -132,12 +158,18 @@ def test_packed_phase_train_pair_grads_match_xla_autodiff():
     with mock.patch.object(pp, "max_pool_2x2_phase_packed",
                            functools.partial(pp.max_pool_2x2_phase_packed,
                                              interpret=True)), \
+         mock.patch.object(pp, "max_pool_2x2_phase_mxu",
+                           functools.partial(pp.max_pool_2x2_phase_mxu,
+                                             interpret=True)), \
          mock.patch.object(pp, "max_unpool_2x2_phase_nat",
                            functools.partial(
                                pp.max_unpool_2x2_phase_nat,
                                interpret=True)), \
          mock.patch.object(pp, "_unpool_phase_packed_grad",
                            functools.partial(pp._unpool_phase_packed_grad,
+                                             interpret=True)), \
+         mock.patch.object(pp, "_unpool_phase_grad_mxu",
+                           functools.partial(pp._unpool_phase_grad_mxu,
                                              interpret=True)):
         got_l, got_g = jax.value_and_grad(loss_packed)(x)
     want_l, want_g = jax.value_and_grad(loss_ref)(x)
