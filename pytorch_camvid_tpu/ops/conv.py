@@ -135,10 +135,20 @@ def conv_bn_relu_apply(params, state, x: jax.Array, *, train: bool,
                                          x.astype(compute_dtype))
 
     if use_pallas and train:
-        from pytorch_camvid_tpu.ops.pallas_conv_train import conv3x3_pallas
+        from pytorch_camvid_tpu.ops.pallas_conv_train import (
+            conv3x3_pallas, pallas_train_supported)
         xc = x.astype(compute_dtype)
-        y = conv3x3_pallas(xc, params["w"].astype(xc.dtype))
-        y = y + params["b"].astype(y.dtype)
+        itemsize = 2 if xc.dtype == jnp.bfloat16 else 4
+        if pallas_train_supported(xc.shape, params["w"].shape[-1],
+                                  itemsize):
+            y = conv3x3_pallas(xc, params["w"].astype(xc.dtype))
+            y = y + params["b"].astype(y.dtype)
+        else:
+            # per-shape fallback: layers whose dW slab cannot tile into
+            # VMEM (deep bottlenecks at small H) take the XLA conv so
+            # whole-model Pallas training still runs as a mixed path
+            y = conv2d(x.astype(compute_dtype), params["w"], params["b"],
+                       allow_wgroup=False)
     else:
         y = conv2d(x.astype(compute_dtype), params["w"], params["b"],
                    allow_wgroup=not train)

@@ -44,7 +44,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pytorch_camvid_tpu.ops.pallas_conv import (
-    _conv3x3_impl, _pick_tile_co, _round_up)
+    _conv3x3_impl, _pick_tile_co, _pick_tiles, _round_up)
+
+
+def pallas_train_supported(x_shape, cout: int, itemsize: int = 2) -> bool:
+    """True when the whole custom-VJP kernel family (forward conv, dx
+    conv, dW reduction) has a feasible VMEM tiling at this conv shape.
+
+    conv_bn_relu_apply uses this to fall back to the XLA conv PER SHAPE,
+    so ``use_pallas=True`` training runs whole-model as a mixed path
+    instead of raising at the one layer whose dW slab cannot tile (e.g.
+    the H=22, Cin=1024 bottleneck at reduced resolutions —
+    tools/pallas_full_train_step.py records the attempt)."""
+    n, h, w_sp, cin = x_shape
+    wq = _round_up(w_sp + 2, 8)
+    try:
+        _pick_tiles(h, wq, max(cin, 128), cout, itemsize)     # forward
+        _pick_tiles(h, wq, max(cout, 128), cin, itemsize)     # dx conv
+        _pick_tiles_dw(h, wq, max(cin, 128), cout, itemsize)  # dW
+    except ValueError:
+        return False
+    return True
 
 
 def _conv3x3_fwd(x: jax.Array, w: jax.Array) -> jax.Array:

@@ -102,3 +102,31 @@ def test_train_mode_use_pallas_matches_xla_block():
     for k in ("mean", "var"):
         np.testing.assert_allclose(np.asarray(got_s[k]),
                                    np.asarray(want_s[k]), atol=1e-4)
+
+
+def test_pallas_train_supported_predicate_and_fallback():
+    """Shapes whose dW slab cannot tile VMEM (deep bottleneck at small H)
+    must report unsupported, and conv_bn_relu_apply(use_pallas=True) must
+    fall back to the XLA conv there instead of raising — this is what
+    makes whole-model Pallas training runnable as a mixed path
+    (tools/pallas_full_train_step.py; chip run in HARDWARE.md)."""
+    from pytorch_camvid_tpu.ops.pallas_conv_train import (
+        pallas_train_supported)
+    from pytorch_camvid_tpu.ops.conv import (
+        conv_bn_relu_init, conv_bn_relu_apply)
+
+    # the shape that raised before the fallback: H=22, W=30ish, Cin=1024
+    assert not pallas_train_supported((4, 11, 15, 1024), 1024)
+    # a production UNet shape that does tile
+    assert pallas_train_supported((4, 90, 120, 256), 256)
+
+    # unsupported shape + use_pallas=True runs the XLA conv (no Mosaic on
+    # CPU, so reaching pallas_call would fail loudly here)
+    params, state = conv_bn_relu_init(jax.random.PRNGKey(0), 1024, 1024)
+    x = jnp.asarray(np.random.default_rng(7).normal(
+        size=(1, 11, 15, 1024)).astype(np.float32))
+    want, _ = conv_bn_relu_apply(params, state, x, train=True)
+    got, _ = conv_bn_relu_apply(params, state, x, train=True,
+                                use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
