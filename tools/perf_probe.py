@@ -175,7 +175,7 @@ def roofline_tflops(batch, h, w, cin, cout, dtype_bytes=2,
 
 
 def probe_shape(batch, h, w, cin, cout, k=30, pallas=False,
-                dtype=None, mode: str = "fwd"):
+                dtype=None, mode: str = "fwd", pair=False):
     """Times the op net of the chain-harness tax: the same K-iteration
     chained loop is run with a trivial stand-in op (a channel slice) and
     its per-iteration time subtracted. Without this correction the carry
@@ -207,7 +207,20 @@ def probe_shape(batch, h, w, cin, cout, k=30, pallas=False,
     if mode == "fwd":
         carry0 = x
         carry_ch = cin
-        if pallas:
+        if pair:
+            # H-pair lane-packed kernel (ops/pallas_conv_pair.py): the
+            # C<=64 occupancy experiment — 2x executed FLOPs at full
+            # 128-lane K and N. pair="control" runs the aligned-taps
+            # control arm (wrong math) isolating the dx-shift cost.
+            from pytorch_camvid_tpu.ops.pallas_conv_pair import (
+                conv3x3_pair_bn_relu)
+            # "control" = aligned stores; "noshift" = no stores at all
+            ctl = pair if isinstance(pair, str) else False
+
+            def op(v):
+                return conv3x3_pair_bn_relu(v, wgt, a, b,
+                                            control_aligned=ctl)
+        elif pallas:
             from pytorch_camvid_tpu.ops.pallas_conv import (
                 conv3x3_bn_relu_pallas)
 
@@ -299,7 +312,7 @@ def probe_shape(batch, h, w, cin, cout, k=30, pallas=False,
         "tflops": round(achieved, 1),
         "roofline_tflops": round(bound, 1),
         "pct_of_roofline": round(100.0 * achieved / bound, 1),
-        "impl": "pallas" if pallas else "xla",
+        "impl": "pair" if pair else ("pallas" if pallas else "xla"),
         "mode": mode,
         "k": kk,
     }
@@ -314,8 +327,13 @@ def main():
     ap.add_argument("--batch", type=int, default=24)
     ap.add_argument("--k", type=int, default=30)
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--pair", nargs="?", const=True, default=False,
+                    help="H-pair lane-packed kernel "
+                         "(ops/pallas_conv_pair.py); '--pair control' "
+                         "runs the aligned-taps control arm")
     ap.add_argument("--shapes", type=str, default="unet",
-                    choices=["unet", "segnet", "dominant", "pool"])
+                    choices=["unet", "segnet", "dominant", "pool",
+                             "shallow64"])
     ap.add_argument("--mode", type=str, default="fwd",
                     choices=["fwd", "dgrad", "wgrad"])
     ap.add_argument("--pool-impl", type=str, default="argmax",
@@ -332,8 +350,13 @@ def main():
             print(json.dumps(row), flush=True)
         return
 
-    shapes = (segnet_conv_shapes() if args.shapes == "segnet"
-              else unet_conv_shapes())
+    if args.shapes == "shallow64":
+        # the pair-kernel target family (Cout>=64: the output store is
+        # two lane-half slices, so Cout=12 heads are out of scope)
+        shapes = {(360, 480, 64, 64): 2, (360, 480, 128, 64): 2}
+    else:
+        shapes = (segnet_conv_shapes() if args.shapes == "segnet"
+                  else unet_conv_shapes())
     if args.shapes == "dominant":
         # the three highest total-FLOP shapes
         ranked = sorted(shapes.items(),
@@ -343,7 +366,8 @@ def main():
 
     for (h, w, cin, cout), mult in sorted(shapes.items()):
         row = probe_shape(args.batch, h, w, cin, cout, k=args.k,
-                          pallas=args.pallas, mode=args.mode)
+                          pallas=args.pallas, pair=args.pair,
+                          mode=args.mode)
         row["multiplicity"] = mult
         print(json.dumps(row), flush=True)
 
