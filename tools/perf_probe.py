@@ -240,6 +240,29 @@ def probe_shape(batch, h, w, cin, cout, k=30, pallas=False,
 
         def op(g):
             return conv(g, wgt_t).astype(dtype)
+    elif mode == "blockvjp":
+        # FULL production-block VJP (conv + train-mode BN + ReLU wrt x
+        # AND w): blockvjp - (dgrad + wgrad) isolates the BN/ReLU
+        # backward elementwise cost per shape — the last unmeasured
+        # term of UNet's 195 ms backward (PERF.md round 3).
+        from pytorch_camvid_tpu.ops.conv import (
+            conv_bn_relu_init, conv_bn_relu_apply)
+        params, state = conv_bn_relu_init(key, cin, cout)
+        params = dict(params, w=wgt)
+        carry0 = jax.random.normal(key, (batch, h, w, cout), dtype)
+        carry_ch = cout
+
+        def op(g, xx):
+            def blk(args):
+                x_, w_ = args
+                y, _ = conv_bn_relu_apply(
+                    dict(params, w=w_), state, x_, train=True,
+                    compute_dtype=dtype)
+                return y
+            y, vjp = jax.vjp(blk, (xx, wgt))
+            (dx, dw) = vjp(g.astype(y.dtype))[0]
+            return dx.astype(dtype) + (1e-30 * jnp.sum(dw)).astype(dtype)
+        op_extras = (x,)
     elif mode == "wgrad":
         carry0 = jax.random.normal(key, (batch, h, w, cout), dtype)
         carry_ch = cout
@@ -335,7 +358,7 @@ def main():
                     choices=["unet", "segnet", "dominant", "pool",
                              "shallow64"])
     ap.add_argument("--mode", type=str, default="fwd",
-                    choices=["fwd", "dgrad", "wgrad"])
+                    choices=["fwd", "dgrad", "wgrad", "blockvjp"])
     ap.add_argument("--pool-impl", type=str, default="argmax",
                     choices=["argmax", "phase", "pallas", "hybrid",
                              "packed"])
