@@ -232,6 +232,7 @@ def main() -> dict:
     unet = measure_train("unet")
     segnet = measure_train("segnet")
     serving = measure_serving("unet")
+    segnet_serving = measure_serving("segnet", n_images=120)
 
     return {
         "metric": "camvid_unet_360x480_train_images_per_sec_per_chip",
@@ -244,6 +245,7 @@ def main() -> dict:
             "unet_train": unet,
             "segnet_train": segnet,
             "unet_serving_fwd": serving,
+            "segnet_serving_fwd": segnet_serving,
         },
     }
 
