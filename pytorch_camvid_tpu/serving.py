@@ -71,6 +71,35 @@ class Predictor:
             variables = {"params": state.params, "state": state.bn_state}
         return cls(net, variables, **kw)
 
+    def export_stablehlo(self, path: str, platforms=None):
+        """Serialize the compiled serving function as a StableHLO artifact.
+
+        The weights are baked into the module as constants, so the artifact
+        is a self-contained deployment unit: uint8 (B, H, W, 3) BGR in,
+        uint8 (B, H, W) class map out — loadable by any PJRT runtime (or
+        back into JAX via ``jax.export.deserialize``) with no Python model
+        code, flax, or checkpoint machinery on the serving host. This is
+        the TPU-native analogue of exporting the reference's model with
+        TorchScript/ONNX (the reference ships no serving export at all;
+        its inference surface is predict.py, /root/reference/predict.py).
+
+        platforms: list like ["tpu", "cpu"] for a multi-platform artifact;
+        None exports for the current default backend only.
+        """
+        from jax import export as jexport
+
+        h, w = self._hw
+        spec = jax.ShapeDtypeStruct((self._batch, h, w, 3), jnp.uint8)
+        variables = self._variables
+        fwd = self._forward
+
+        fn = jax.jit(lambda images_u8: fwd(variables, images_u8))
+        exp = jexport.export(fn, platforms=platforms)(spec)
+        data = exp.serialize()
+        with open(path, "wb") as f:
+            f.write(data)
+        return exp
+
     def predict(self, images: np.ndarray) -> np.ndarray:
         """images: (N, H, W, 3) uint8 BGR, any H/W (resized on device).
         Returns (N, h, w) uint8 class maps at the working size.
