@@ -124,62 +124,21 @@ def phase_to_flat_index(k: jax.Array, w_in: int) -> jax.Array:
     return yy * w_in + xx
 
 
-def max_unpool_2x2_from_phase(x: jax.Array, k: jax.Array,
-                              out_hw: Tuple[int, int]) -> jax.Array:
-    """Invert max_pool_2x2_with_phase: phase-mask unpool without flat
-    indices — each output phase (a, b) keeps x where k == 2a+b."""
-    n, h2, w2, c = x.shape
-    ho, wo = out_hw
-    zero = jnp.zeros((), x.dtype)
+def _assemble_phase_planes(phase, shape, out_hw: Tuple[int, int],
+                           dtype) -> jax.Array:
+    """Interleave four small-domain phase planes into the unpooled plane.
 
-    def phase(a, b):
-        return jnp.where(k == 2 * a + b, x, zero)
-
-    def interleave_w(p0, p1):
-        return jnp.stack([p0, p1], axis=3).reshape(n, h2, 2 * w2, c)
-
-    row0 = interleave_w(phase(0, 0), phase(0, 1))
-    row1 = interleave_w(phase(1, 0), phase(1, 1))
-    t = jnp.stack([row0, row1], axis=2).reshape(n, 2 * h2, 2 * w2, c)
-    pad_h, pad_w = max(ho - 2 * h2, 0), max(wo - 2 * w2, 0)
-    if pad_h or pad_w:
-        t = jnp.pad(t, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-    return t[:, :ho, :wo, :]
-
-
-def max_unpool_2x2(x: jax.Array, idx: jax.Array,
-                   out_hw: Tuple[int, int]) -> jax.Array:
-    """Invert max_pool_2x2_with_argmax: place x at idx in a (Ho, Wo) plane.
-
-    Dense formulation (see module docstring), with the 2x2 broadcast done
-    by ``jnp.repeat`` (a reshape-broadcast, no gather): the earlier
-    iota-indexed double gather lowered to a per-element gather op that ran
-    at 5-10% of the HBM bandwidth bound on chip — 26.5 ms for the
-    stage-1 pool+unpool pair vs 2.3 ms bound at b24 360x480x64
-    (run_artifacts/probe_pool_b24.jsonl, the explanation for SegNet's MFU
-    gap, VERDICT r2 weak #4). Handles odd Ho/Wo (torch's ``output_size``
-    semantics, models/segnet.py:104): the trailing row/col repeats the
-    clamped source window, whose index can never select it, so it stays
-    zero like torch's.
+    ``phase(a, b)`` returns the selected-or-zero values for output phase
+    (2i+a, 2j+b), computed in the SMALL (pooled) domain. The four planes
+    interleave via two channel-adjacent stacks whose reshapes are
+    layout-free (c-minor: (j, q, c) -> (2j+q, c)) — no big-domain int32
+    repeat, no 6D transpose (measured 2.2x faster than the repeat-compare
+    form, 22.2 -> 10.0 ms at b24 360x480x64; PERF.md round-3). Odd output
+    rows/cols the pool never covered stay zero (torch ``output_size``
+    semantics, reference models/segnet.py:104).
     """
-    n, h2, w2, c = x.shape
+    n, h2, w2, c = shape
     ho, wo = out_hw
-
-    # Phase-mask formulation: the selected-or-zero value for each of the
-    # four output phases (a, b) is computed in the SMALL (pooled) domain
-    # (idx can only select output pixel (2i+a, 2j+b) from window (i, j)),
-    # then the four planes interleave via two channel-adjacent stacks
-    # whose reshapes are layout-free (c-minor: (j, q, c) -> (2j+q, c)).
-    # No big-domain int32 repeat, no 6D transpose — measured 2.2x faster
-    # than the repeat-compare version (22.2 -> 10.0 ms at b24 360x480x64,
-    # /tmp-diag recorded in PERF.md round-3 section).
-    ii = jax.lax.broadcasted_iota(jnp.int32, (h2, w2), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (h2, w2), 1)
-    zero = jnp.zeros((), x.dtype)
-
-    def phase(a, b):
-        m = idx == ((2 * ii + a) * wo + (2 * jj + b))[None, :, :, None]
-        return jnp.where(m, x, zero)
 
     def interleave_w(p0, p1):  # (n,h2,w2,c) x2 -> (n,h2,2*w2,c)
         return jnp.stack([p0, p1], axis=3).reshape(n, h2, 2 * w2, c)
@@ -189,6 +148,47 @@ def max_unpool_2x2(x: jax.Array, idx: jax.Array,
     t = jnp.stack([row0, row1], axis=2).reshape(n, 2 * h2, 2 * w2, c)
     pad_h, pad_w = max(ho - 2 * h2, 0), max(wo - 2 * w2, 0)
     if pad_h or pad_w:
-        # odd output dims: rows/cols the pool never covered stay zero
         t = jnp.pad(t, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     return t[:, :ho, :wo, :]
+
+
+def max_unpool_2x2_from_phase(x: jax.Array, k: jax.Array,
+                              out_hw: Tuple[int, int]) -> jax.Array:
+    """Invert max_pool_2x2_with_phase: phase-mask unpool without flat
+    indices — each output phase (a, b) keeps x where k == 2a+b."""
+    zero = jnp.zeros((), x.dtype)
+
+    def phase(a, b):
+        return jnp.where(k == 2 * a + b, x, zero)
+
+    return _assemble_phase_planes(phase, x.shape, out_hw, x.dtype)
+
+
+def max_unpool_2x2(x: jax.Array, idx: jax.Array,
+                   out_hw: Tuple[int, int]) -> jax.Array:
+    """Invert max_pool_2x2_with_argmax: place x at idx in a (Ho, Wo) plane.
+
+    Phase-mask formulation: the selected-or-zero value for each of the
+    four output phases (a, b) is computed in the SMALL (pooled) domain —
+    idx can only select output pixel (2i+a, 2j+b) from window (i, j) —
+    then ``_assemble_phase_planes`` interleaves the planes with layout-free
+    reshapes. This replaced the earlier iota-indexed double gather, which
+    lowered to a per-element gather op running at 5-10% of the HBM
+    bandwidth bound on chip — 26.5 ms for the stage-1 pool+unpool pair vs
+    2.3 ms bound at b24 360x480x64 (run_artifacts/probe_pool_b24.jsonl,
+    the explanation for SegNet's MFU gap, VERDICT r2 weak #4). Handles odd
+    Ho/Wo (torch's ``output_size`` semantics, models/segnet.py:104): the
+    trailing row/col's index can never be selected, so it stays zero like
+    torch's.
+    """
+    h2, w2 = x.shape[1], x.shape[2]
+    ho, wo = out_hw
+    ii = jax.lax.broadcasted_iota(jnp.int32, (h2, w2), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (h2, w2), 1)
+    zero = jnp.zeros((), x.dtype)
+
+    def phase(a, b):
+        m = idx == ((2 * ii + a) * wo + (2 * jj + b))[None, :, :, None]
+        return jnp.where(m, x, zero)
+
+    return _assemble_phase_planes(phase, x.shape, out_hw, x.dtype)

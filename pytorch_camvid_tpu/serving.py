@@ -16,6 +16,7 @@ Example:
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import numpy as np
@@ -40,9 +41,13 @@ class Predictor:
         self._variables = variables
         self._batch = batch_size
         self._hw = image_hw
+        self.image_hw = image_hw  # public: the compiled working size
         _, apply_fn = get_model(net, 3, num_classes)
         normalize = make_eval_normalize(settings.MEAN, settings.STD,
                                         compute_dtype)
+        self._apply_fn = apply_fn
+        self._normalize = normalize
+        self._compute_dtype = compute_dtype
 
         def forward(variables, images_u8):
             x = normalize(images_u8)
@@ -54,6 +59,15 @@ class Predictor:
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
         self._forward = jax.jit(forward)
+
+        def resize_u8(images_u8):
+            x = resize_bilinear_cv2(images_u8.astype(jnp.float32),
+                                    (image_hw[0], image_hw[1]))
+            return jnp.round(jnp.clip(x, 0, 255)).astype(jnp.uint8)
+
+        # per-chunk device resize for requests not at the working size;
+        # jit re-specializes per source shape (cached after first use)
+        self._resize = jax.jit(resize_u8)
 
     @classmethod
     def from_checkpoint(cls, net: str, weight_path: str, **kw):
@@ -85,16 +99,39 @@ class Predictor:
 
         platforms: list like ["tpu", "cpu"] for a multi-platform artifact;
         None exports for the current default backend only.
+
+        The export traces a pure-XLA forward (argmax pool pair, no Pallas
+        kernels) regardless of the live predictor's configuration: Mosaic
+        ``pallas_call``s are TPU-only custom calls, so baking them in
+        would fail multi-platform lowering and produce an artifact no
+        non-TPU PJRT runtime can deserialize. The XLA forms are bit-equal
+        math (tests/test_segnet_pool_impl.py), so the artifact still
+        verifies against the live predictor.
         """
         from jax import export as jexport
 
         h, w = self._hw
         spec = jax.ShapeDtypeStruct((self._batch, h, w, 3), jnp.uint8)
         variables = self._variables
-        fwd = self._forward
+        apply_fn, normalize = self._apply_fn, self._normalize
+        cdt = self._compute_dtype
 
-        fn = jax.jit(lambda images_u8: fwd(variables, images_u8))
-        exp = jexport.export(fn, platforms=platforms)(spec)
+        def forward(images_u8):
+            x = normalize(images_u8)
+            logits, _ = apply_fn(variables, x, train=False,
+                                 compute_dtype=cdt, use_pallas=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        prev = os.environ.get("PCT_POOL_IMPL")
+        os.environ["PCT_POOL_IMPL"] = "argmax"  # read at trace time
+        try:
+            exp = jexport.export(jax.jit(forward),
+                                 platforms=platforms)(spec)
+        finally:
+            if prev is None:
+                os.environ.pop("PCT_POOL_IMPL", None)
+            else:
+                os.environ["PCT_POOL_IMPL"] = prev
         data = exp.serialize()
         with open(path, "wb") as f:
             f.write(data)
@@ -109,13 +146,12 @@ class Predictor:
         serializing per chunk — which is what made forward-only serving
         slower than training through a remote device tunnel. The in-flight
         window is bounded (3 chunks) so device memory stays O(batch) however
-        large the request is."""
+        large the request is — including the resize for requests not at the
+        working size, which runs per chunk on device (its uint8 output
+        stays device-resident and feeds the forward directly)."""
         n = images.shape[0]
         h, w = self._hw
-        if images.shape[1:3] != (h, w):
-            x = jnp.asarray(images, jnp.float32)
-            x = resize_bilinear_cv2(x, (h, w))
-            images = np.asarray(jnp.round(jnp.clip(x, 0, 255)), np.uint8)
+        need_resize = images.shape[1:3] != (h, w)
         max_inflight = 3
         inflight = []
         out = []
@@ -133,8 +169,10 @@ class Predictor:
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)])
             if len(inflight) >= max_inflight:
                 drain_one()
-            inflight.append(
-                (self._forward(self._variables, jnp.asarray(chunk)), keep))
+            dev = jnp.asarray(chunk)
+            if need_resize:
+                dev = self._resize(dev)
+            inflight.append((self._forward(self._variables, dev), keep))
         while inflight:
             drain_one()
         return np.concatenate(out) if out else np.zeros((0, h, w), np.uint8)

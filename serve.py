@@ -79,14 +79,15 @@ def main(argv=None):
         if img is None:
             raise FileNotFoundError(f)
         images.append(img)
-    # Predictor resizes on device; feed a uniform stack (pad ragged
-    # sources to the max extent first so the stack is rectangular)
+    # Predictor resizes uniform stacks on device. Ragged folders are
+    # resized per image on host instead (cv2 bilinear, the same resize
+    # convention as the device path — ops/resize.py oracle-matches cv2):
+    # padding into one max-extent canvas would misalign every smaller
+    # image's mask with its content.
     hs = {i.shape[:2] for i in images}
     if len(hs) > 1:
-        mh = max(h for h, _ in hs)
-        mw = max(w for _, w in hs)
-        images = [cv2.copyMakeBorder(i, 0, mh - i.shape[0], 0,
-                                     mw - i.shape[1], cv2.BORDER_REPLICATE)
+        h, w = predictor.image_hw
+        images = [cv2.resize(i, (w, h), interpolation=cv2.INTER_LINEAR)
                   for i in images]
     batch = np.stack(images)
 

@@ -14,14 +14,14 @@ import numpy as np
 import pytest
 
 
-def _tiny_predictor(batch=2, hw=(24, 32)):
+def _tiny_predictor(batch=2, hw=(24, 32), net="unet"):
     import jax
     from pytorch_camvid_tpu.models import get_model
     from pytorch_camvid_tpu.serving import Predictor
 
-    init_fn, _ = get_model("unet", 3, 12)
+    init_fn, _ = get_model(net, 3, 12)
     variables = init_fn(jax.random.PRNGKey(0))
-    return Predictor("unet", variables, batch_size=batch, image_hw=hw)
+    return Predictor(net, variables, batch_size=batch, image_hw=hw)
 
 
 def test_export_roundtrip_bit_equal(tmp_path):
@@ -41,6 +41,47 @@ def test_export_roundtrip_bit_equal(tmp_path):
     want = pred.predict(images)
     assert got.dtype == np.uint8 and got.shape == (2, 24, 32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_export_forces_xla_pool(tmp_path, monkeypatch):
+    """Export must trace the pure-XLA pool pair even when the environment
+    selects the TPU Pallas pair (as a TPU host does by default): Mosaic
+    pallas_calls are TPU-only custom calls — baking them in would break
+    the any-PJRT-runtime artifact contract, and on this CPU backend would
+    fail lowering outright (the regression this test pins)."""
+    import jax
+    from jax import export as jexport
+
+    pred = _tiny_predictor(batch=1, hw=(32, 32), net="segnet")
+    path = str(tmp_path / "segnet.stablehlo")
+    monkeypatch.setenv("PCT_POOL_IMPL", "pallas_phase")
+    exp = pred.export_stablehlo(path)
+    monkeypatch.delenv("PCT_POOL_IMPL")
+    # the env override is restored after tracing
+    assert os.environ.get("PCT_POOL_IMPL") is None
+
+    with open(path, "rb") as f:
+        reloaded = jexport.deserialize(f.read())
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8)
+    got = np.asarray(jax.jit(reloaded.call)(images))
+    np.testing.assert_array_equal(got, pred.predict(images))
+
+
+def test_predict_resize_is_chunked(tmp_path):
+    """Non-working-size requests resize per chunk on device (bounded
+    in-flight memory), and the result matches resizing up front."""
+    import jax.numpy as jnp
+    from pytorch_camvid_tpu.ops.resize import resize_bilinear_cv2
+
+    pred = _tiny_predictor(batch=2, hw=(24, 32))
+    rng = np.random.default_rng(2)
+    images = rng.integers(0, 256, (5, 48, 64, 3), dtype=np.uint8)
+    got = pred.predict(images)
+    assert got.shape == (5, 24, 32)
+    x = resize_bilinear_cv2(jnp.asarray(images, jnp.float32), (24, 32))
+    pre = np.asarray(jnp.round(jnp.clip(x, 0, 255)), np.uint8)
+    np.testing.assert_array_equal(got, pred.predict(pre))
 
 
 def test_export_cli(tmp_path):

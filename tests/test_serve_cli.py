@@ -29,7 +29,8 @@ def test_serve_cli_end_to_end(tmp_path):
     rng = np.random.default_rng(3)
     src = tmp_path / "imgs"
     src.mkdir()
-    # mixed sizes: serve.py must pad ragged inputs into one batch
+    # mixed sizes: serve.py resizes ragged inputs per image (padding into
+    # one canvas would misalign smaller images' masks with their content)
     for name, hw in [("a", (60, 88)), ("b", (48, 72)), ("c", (60, 88))]:
         cv2.imwrite(str(src / f"{name}.png"),
                     rng.integers(0, 255, hw + (3,), np.uint8))
@@ -55,3 +56,20 @@ def test_serve_cli_end_to_end(tmp_path):
         assert m.shape == (360, 480)           # the working size
         c = cv2.imread(str(out / f"{name}_color.png"))
         assert c is not None and c.shape == (360, 480, 3)
+
+    # Geometric alignment: the odd-sized image's mask must match what a
+    # single-image (no ragged branch, device-resize path) run produces —
+    # ragged handling must not shift content. cv2's host resize and the
+    # device resize are oracle-matched (tests/test_resize.py), so the two
+    # paths may only disagree on near-tie argmax pixels.
+    out_b = tmp_path / "mask_b_alone"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/serve.py", "-weight", ckpt,
+         "-input", str(src / "b.png"), "-output", str(out_b), "-b", "2"],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m_folder = cv2.imread(str(out / "b_mask.png"), cv2.IMREAD_GRAYSCALE)
+    m_alone = cv2.imread(str(out_b / "b_mask.png"), cv2.IMREAD_GRAYSCALE)
+    agree = float((m_folder == m_alone).mean())
+    assert agree >= 0.99, f"ragged-folder mask misaligned: {agree:.3f}"
