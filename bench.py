@@ -215,6 +215,20 @@ def measure_serving(net: str = "unet", batch_size: int = 24,
     jax.block_until_ready(r)
     ips_compute = batch_size * steps / (time.perf_counter() - t0)
 
+    # int8 PTQ arm (ops/quant.py): same forward with every conv on the
+    # MXU int8 path (v5e int8 peak = 2x bf16). Calibrated on the bench
+    # batch — quantized *throughput* does not depend on weight values.
+    from pytorch_camvid_tpu.ops.quant import calibrate, quantize_variables
+    amax = calibrate(apply_fn, variables, [xb.astype(jnp.bfloat16)])
+    qvars = jax.device_put(quantize_variables(variables, amax))
+    rq = f(qvars, xb)
+    jax.block_until_ready(rq)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        rq = f(qvars, xb)
+    jax.block_until_ready(rq)
+    ips_int8 = batch_size * steps / (time.perf_counter() - t0)
+
     flops_per_image = _conv_fwd_flops(net, hw)
     peak = _bf16_peak_flops(jax.devices()[0])
     return {
@@ -222,6 +236,11 @@ def measure_serving(net: str = "unet", batch_size: int = 24,
         "mfu": _mfu(ips, flops_per_image, peak),
         "images_per_sec_compute_only": round(ips_compute, 2),
         "mfu_compute_only": _mfu(ips_compute, flops_per_image, peak),
+        "images_per_sec_compute_only_int8": round(ips_int8, 2),
+        # int8 MXU peak is 2x the bf16 peak on every listed TPU generation
+        "mfu_compute_only_int8": _mfu(ips_int8, flops_per_image,
+                                      None if peak is None else 2 * peak),
+        "int8_speedup": round(ips_int8 / ips_compute, 3),
     }
 
 

@@ -36,6 +36,10 @@ if __name__ == "__main__":
                         help="dataset root folder")
     parser.add_argument("-pallas", action="store_true", default=False,
                         help="use the fused Pallas serving kernels")
+    parser.add_argument("-int8", action="store_true", default=False,
+                        help="post-training int8 quantization: calibrate "
+                             "on the first 4 val batches, then run every "
+                             "conv on the MXU int8 path (ops/quant.py)")
     parser.add_argument("-image_size", type=int, nargs=2, default=None,
                         metavar=("W", "H"),
                         help="working size in cv2 (W, H) order; default "
@@ -43,7 +47,13 @@ if __name__ == "__main__":
     parser.add_argument("-dataset", type=str, default="camvid",
                         choices=["camvid", "voc2012"],
                         help="dataset to evaluate on")
+    parser.add_argument("-dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="compute dtype on device (same knob as "
+                             "train.py -dtype)")
     args = parser.parse_args()
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" \
+        else jnp.float32
 
     image_size = (tuple(args.image_size) if args.image_size
                   else settings.IMAGE_SIZE)
@@ -71,6 +81,24 @@ if __name__ == "__main__":
     else:
         state, meta = load_checkpoint(args.weight, template)
 
+    if args.int8:
+        from pytorch_camvid_tpu.ops.quant import (calibrate,
+                                                  quantize_variables)
+        calib_loader = DeviceDataLoader(valid_dataset.images,
+                                        valid_dataset.labels, args.b)
+        calib_norm = make_eval_normalize(mean, std, compute_dtype)
+        batches = []
+        for images_u8, _ in calib_loader.epoch(0):
+            batches.append(calib_norm(images_u8))
+            if len(batches) >= 4:
+                break
+        v = {"params": state.params, "state": state.bn_state}
+        qv = quantize_variables(v, calibrate(apply_fn, v, batches,
+                                             compute_dtype=compute_dtype))
+        state = TrainState(params=qv["params"], bn_state=qv["state"],
+                           opt_state=state.opt_state, step=state.step,
+                           rng=state.rng)
+
     if args.pallas:
         print("note: -pallas compiles every conv block as a Mosaic kernel "
               "in one program; some remote-compile environments (axon "
@@ -81,10 +109,11 @@ if __name__ == "__main__":
                     base_apply(v, x, **{**kw, "use_pallas": True}))
     eval_fn = jax.jit(make_eval_step(
         apply_fn, valid_dataset.class_num,
-        ignore_index=valid_dataset.ignore_index, loss_ignore_index=255))
+        ignore_index=valid_dataset.ignore_index, loss_ignore_index=255,
+        compute_dtype=compute_dtype))
     loader = DeviceDataLoader(valid_dataset.images, valid_dataset.labels,
                               args.b)
-    normalize = make_eval_normalize(mean, std)
+    normalize = make_eval_normalize(mean, std, compute_dtype)
 
     loss_sum, cm, n_batches = evaluate(state, eval_fn, loader, normalize,
                                        args.b)

@@ -127,7 +127,18 @@ def conv_bn_relu_apply(params, state, x: jax.Array, *, train: bool,
     the custom-VJP Pallas kernel family (ops/pallas_conv_train.py) — the
     BN/ReLU tail stays outside because batch statistics need a global
     reduction either way.
+
+    Two content-keyed serving modes (ops/quant.py; models stay untouched):
+    - ``"w_q" in params``: int8 post-training-quantized block —
+      relu(conv_int8(q(x), w_q) * (s_x*s_w) + folded-BN bias).
+    - ``"amax" in state`` (eval only): calibration — the ordinary eval
+      forward, plus the running max|block input| returned in new_state.
     """
+    if "w_q" in params:
+        from pytorch_camvid_tpu.ops.quant import quantized_block_apply
+        assert not train, "int8-quantized blocks are serving-only"
+        return quantized_block_apply(params, x,
+                                     compute_dtype=compute_dtype), state
     if use_pallas and not train:
         from pytorch_camvid_tpu.ops.pallas_conv import (
             conv_bn_relu_apply_pallas)
@@ -174,6 +185,12 @@ def conv_bn_relu_apply(params, state, x: jax.Array, *, train: bool,
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
+        if "amax" in state:
+            # calibration pass (ops/quant.py): record the running
+            # max|block input| through the ordinary state-threading path
+            new_state = dict(state, amax=jnp.maximum(
+                state["amax"],
+                jnp.max(jnp.abs(x)).astype(jnp.float32)))
 
     inv = lax.rsqrt(var + BN_EPS) * params["scale"]
     y = (y - mean) * inv + params["bias"]

@@ -1,0 +1,149 @@
+"""Post-training int8 quantization for the serving path.
+
+The reference has no quantized inference (its serving story is
+``predict.py`` in fp32 — /root/reference/predict.py:1-60); this is a
+beyond-parity TPU capability: the v5e MXU runs int8 x int8 -> int32 at
+~2x the bf16 FLOP rate, and the chained per-shape probe measured real
+conv speedups of 1.4-2.0x on every hot UNet shape (PERF.md, int8 table).
+
+Design (standard PTQ, TPU-shaped):
+- **BN folding**: eval-mode BatchNorm is an affine per-channel transform,
+  so it folds into the conv weights/bias exactly:
+  ``w_eff = w * g[c]``, ``b_eff = (b - mean) * g + beta`` with
+  ``g = scale * rsqrt(var + eps)``. The quantized block is then
+  ``relu(conv_int8(x_q, w_q) * (s_x * s_w[c]) + b_eff)``.
+- **Per-output-channel symmetric weights**: ``s_w[c] = max|w_eff[..,c]|/127``
+  — per-channel scales cost nothing on TPU (they fuse into the conv
+  epilogue) and are what keeps folded-BN weight ranges sane.
+- **Per-tensor symmetric activations**, calibrated: ``s_x = amax/127``
+  where ``amax`` is the running max|conv input| observed over calibration
+  batches. Calibration rides the existing BN-state threading: seed each
+  block's state with ``amax=0`` and the eval forward returns the updated
+  running max in ``new_state`` — no model changes, no Python-side hooks.
+- **Only the convs quantize.** Activations between blocks stay in the
+  compute dtype (bf16); each block re-quantizes its own input. Pool /
+  resize / concat / pad all stay dense bf16 ops — requantization is
+  elementwise and XLA fuses it into the surrounding ops, while the MXU
+  gets int8 operands for every matmul-shaped FLOP in the model.
+
+The quantized model is a pure pytree transform: ``quantize_variables``
+maps trained ``{"params", "state"}`` -> the same tree with each block's
+params replaced by ``{w_q, s_w, s_x, b_eff}``; ``conv_bn_relu_apply``
+dispatches on the presence of ``w_q`` (ops/conv.py). Everything stays
+jittable with static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pytorch_camvid_tpu.ops.conv import BN_EPS
+
+QMAX = 127.0
+
+
+def fold_bn(params, state):
+    """Fold eval-mode BN into the conv: returns (w_eff, b_eff) float32.
+
+    Exact for eval mode: BN(conv(x, w) + b) == conv(x, w_eff) + b_eff.
+    """
+    g = params["scale"] * lax.rsqrt(state["var"] + BN_EPS)
+    w_eff = params["w"].astype(jnp.float32) * g  # broadcast over cout
+    b_eff = (params["b"].astype(jnp.float32) - state["mean"]) * g \
+        + params["bias"]
+    return w_eff, b_eff
+
+
+def quantize_block(params, state, amax):
+    """One conv+BN+ReLU block -> int8 serving params.
+
+    amax: calibrated max|x| of the block's input (scalar, float32).
+    """
+    w_eff, b_eff = fold_bn(params, state)
+    s_w = jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)) / QMAX
+    s_w = jnp.maximum(s_w, 1e-12)  # all-zero channels stay harmless
+    w_q = jnp.clip(jnp.round(w_eff / s_w), -QMAX, QMAX).astype(jnp.int8)
+    s_x = jnp.maximum(jnp.asarray(amax, jnp.float32), 1e-12) / QMAX
+    return {"w_q": w_q, "s_w": s_w, "s_x": s_x, "b_eff": b_eff}
+
+
+def _map_blocks(tree, fn):
+    """Apply fn to every per-block dict ({'mean','var',...} leaf-dicts)."""
+    if isinstance(tree, dict) and "mean" in tree and "var" in tree:
+        return fn(tree)
+    if isinstance(tree, dict):
+        return {k: _map_blocks(v, fn) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_map_blocks(v, fn) for v in tree)
+    return tree
+
+
+def _zip3_blocks(params, state, amax, fn):
+    """Recurse three structurally-parallel trees down to block level."""
+    if isinstance(params, dict) and "w" in params:
+        return fn(params, state, amax)
+    if isinstance(params, dict):
+        return {k: _zip3_blocks(params[k], state[k], amax[k], fn)
+                for k in params}
+    if isinstance(params, (list, tuple)):
+        return type(params)(_zip3_blocks(p, s, a, fn)
+                            for p, s, a in zip(params, state, amax))
+    return params
+
+
+def calibrate(apply_fn, variables, batches, compute_dtype=jnp.bfloat16):
+    """Run eval forwards over calibration batches, returning the amax tree.
+
+    apply_fn(variables, x, train=False, compute_dtype=...) -> (y, new_state)
+    — i.e. apply_unet / apply_segnet. batches: iterable of (N,H,W,C) float
+    arrays, already preprocessed exactly as serving will feed the model.
+    """
+    state = _map_blocks(variables["state"],
+                        lambda s: dict(s, amax=jnp.zeros((), jnp.float32)))
+    vars_c = {"params": variables["params"], "state": state}
+    fwd = jax.jit(lambda v, x: apply_fn(v, x, train=False,
+                                        compute_dtype=compute_dtype)[1])
+    for x in batches:
+        new_state = fwd(vars_c, x)
+        vars_c = {"params": vars_c["params"], "state": new_state}
+    return _map_blocks(vars_c["state"], lambda s: s["amax"])
+
+
+def quantize_variables(variables, amax_tree):
+    """Trained variables + calibrated amax tree -> int8 serving variables.
+
+    The returned tree has the same structure; each block's params become
+    {w_q, s_w, s_x, b_eff} (state is kept, unused, so tree paths stay
+    stable for sharding/serialization)."""
+    params_q = _zip3_blocks(variables["params"], variables["state"],
+                            amax_tree, quantize_block)
+    return {"params": params_q, "state": variables["state"]}
+
+
+def conv2d_int8(x_q: jax.Array, w_q: jax.Array) -> jax.Array:
+    """int8 NHWC x HWIO -> int32, with the same Cout<64 pad guard as the
+    bf16 conv2d (ops/conv.py:80-87) so the 12-class head keeps 64 lanes."""
+    cout = w_q.shape[-1]
+    if cout < 64:
+        w_q = jnp.pad(w_q, ((0, 0), (0, 0), (0, 0), (0, 64 - cout)))
+    y = lax.conv_general_dilated(
+        x_q, w_q, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    if cout < 64:
+        y = y[..., :cout]
+    return y
+
+
+def quantized_block_apply(params_q, x: jax.Array, compute_dtype=jnp.bfloat16):
+    """relu(conv_int8(q(x), w_q) * (s_x*s_w) + b_eff) in the compute dtype."""
+    s_x = params_q["s_x"]
+    # symmetric per-tensor activation quant; round-to-nearest-even like XLA
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                   -QMAX, QMAX).astype(jnp.int8)
+    acc = conv2d_int8(x_q, params_q["w_q"])
+    y = acc.astype(jnp.float32) * (s_x * params_q["s_w"]) \
+        + params_q["b_eff"]
+    return jnp.maximum(y, 0.0).astype(compute_dtype)

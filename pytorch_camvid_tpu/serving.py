@@ -85,6 +85,41 @@ class Predictor:
             variables = {"params": state.params, "state": state.bn_state}
         return cls(net, variables, **kw)
 
+    def quantize_int8(self, calib_images: np.ndarray,
+                      max_batches: int = 4) -> None:
+        """Post-training int8 quantization of the loaded model in place.
+
+        calib_images: (N, H, W, 3) uint8 BGR representative inputs (any
+        spatial size; resized on device like predict()). Runs ≤max_batches
+        calibration forwards to record per-block activation ranges, then
+        replaces the weights with BN-folded per-channel int8 tensors
+        (ops/quant.py). Subsequent predict() calls run every conv on the
+        MXU's int8 path (~1.4-2x the bf16 conv rate on v5e; PERF.md).
+
+        The reference has no quantized inference path — this is a
+        beyond-parity serving capability (its inference surface is fp32
+        predict.py, /root/reference/predict.py).
+        """
+        from pytorch_camvid_tpu.ops.quant import (calibrate,
+                                                  quantize_variables)
+        if len(calib_images) == 0:
+            raise ValueError("need at least one calibration image")
+        h, w = self._hw
+        batches = []
+        for lo in range(0, min(len(calib_images),
+                               max_batches * self._batch), self._batch):
+            chunk = calib_images[lo: lo + self._batch]
+            if len(chunk) < self._batch:  # tile up to the compiled batch
+                reps = -(-self._batch // len(chunk))
+                chunk = np.concatenate([chunk] * reps)[: self._batch]
+            dev = jnp.asarray(chunk)
+            if chunk.shape[1:3] != (h, w):
+                dev = self._resize(dev)
+            batches.append(self._normalize(dev))
+        amax = calibrate(self._apply_fn, self._variables, batches,
+                         compute_dtype=self._compute_dtype)
+        self._variables = quantize_variables(self._variables, amax)
+
     def export_stablehlo(self, path: str, platforms=None):
         """Serialize the compiled serving function as a StableHLO artifact.
 

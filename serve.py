@@ -59,6 +59,10 @@ def main(argv=None):
                         help="also write palette-colorized masks")
     parser.add_argument("-pallas", action="store_true",
                         help="use the fused Pallas serving kernels")
+    parser.add_argument("-int8", action="store_true",
+                        help="post-training int8 quantization: calibrate "
+                             "on the request's first images, then run "
+                             "every conv on the MXU int8 path")
     args = parser.parse_args(argv)
 
     from pytorch_camvid_tpu.runtime import enable_compilation_cache
@@ -90,6 +94,9 @@ def main(argv=None):
         images = [cv2.resize(i, (w, h), interpolation=cv2.INTER_LINEAR)
                   for i in images]
     batch = np.stack(images)
+
+    if args.int8:
+        predictor.quantize_int8(batch)
 
     t0 = time.perf_counter()
     masks = predictor.predict(batch)

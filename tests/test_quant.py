@@ -1,0 +1,160 @@
+"""int8 post-training quantization (ops/quant.py + serving integration).
+
+The reference has no quantized inference path (its serving surface is the
+fp32 predict.py, /root/reference/predict.py) — this is a beyond-parity TPU
+capability; these tests pin its math on the CPU backend:
+
+- BN folding is EXACT (eval BN is affine per channel),
+- the quantized block approximates the float block within the error bound
+  implied by 8-bit symmetric quantization,
+- calibration threads amax through the existing state mechanism,
+- a whole quantized UNet agrees with the float model on nearly all pixels
+  and survives the Predictor round-trip.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pytorch_camvid_tpu.ops.conv import conv_bn_relu_init, conv_bn_relu_apply
+from pytorch_camvid_tpu.ops.quant import (
+    calibrate, fold_bn, quantize_block, quantize_variables,
+    quantized_block_apply)
+
+
+def _random_block(key, cin, cout):
+    kp, ks = jax.random.split(key)
+    params, state = conv_bn_relu_init(kp, cin, cout)
+    # non-trivial BN statistics and affine so folding is actually tested
+    ks1, ks2, ks3, ks4 = jax.random.split(ks, 4)
+    params = dict(params,
+                  scale=1.0 + 0.2 * jax.random.normal(ks1, (cout,)),
+                  bias=0.1 * jax.random.normal(ks2, (cout,)))
+    state = {"mean": 0.3 * jax.random.normal(ks3, (cout,)),
+             "var": jnp.exp(0.2 * jax.random.normal(ks4, (cout,)))}
+    return params, state
+
+
+def test_bn_folding_exact():
+    key = jax.random.PRNGKey(0)
+    params, state = _random_block(key, 16, 24)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 12, 16))
+    ref, _ = conv_bn_relu_apply(params, state, x, train=False)
+
+    w_eff, b_eff = fold_bn(params, state)
+    y = jax.lax.conv_general_dilated(
+        x, w_eff, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_eff
+    folded = jnp.maximum(y, 0.0)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_quantized_block_close_to_float():
+    key = jax.random.PRNGKey(2)
+    params, state = _random_block(key, 16, 24)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 12, 12, 16))
+    ref, _ = conv_bn_relu_apply(params, state, x, train=False)
+
+    amax = float(jnp.max(jnp.abs(x)))
+    pq = quantize_block(params, state, amax)
+    assert pq["w_q"].dtype == jnp.int8
+    got = quantized_block_apply(pq, x, compute_dtype=jnp.float32)
+
+    ref = np.asarray(ref)
+    got = np.asarray(got)
+    # 8-bit symmetric quant: relative output error a small % of the
+    # output dynamic range
+    scale = max(ref.max(), 1e-6)
+    assert np.abs(got - ref).max() / scale < 0.05
+    assert np.abs(got - ref).mean() / scale < 0.01
+
+
+def test_calibration_records_running_amax():
+    from pytorch_camvid_tpu.models import get_model
+    init_fn, apply_fn = get_model("unet", 3, 12)
+    variables = init_fn(jax.random.PRNGKey(0))
+    b1 = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    b2 = 2.0 * jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+    amax = calibrate(apply_fn, variables, [b1, b2],
+                     compute_dtype=jnp.float32)
+    # stem amax must be the max over BOTH batches of max|input|
+    stem = float(amax["down1"][0])
+    expect = float(jnp.maximum(jnp.max(jnp.abs(b1)), jnp.max(jnp.abs(b2))))
+    assert stem == pytest.approx(expect, rel=1e-6)
+    # every block got a strictly positive range
+    assert all(float(v) > 0 for v in jax.tree_util.tree_leaves(amax))
+
+
+def test_quantized_unet_agrees_with_float():
+    from pytorch_camvid_tpu.models import get_model
+    init_fn, apply_fn = get_model("unet", 3, 12)
+    variables = init_fn(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    logits_f, _ = apply_fn(variables, x, train=False,
+                           compute_dtype=jnp.float32)
+    amax = calibrate(apply_fn, variables, [x], compute_dtype=jnp.float32)
+    qvars = quantize_variables(variables, amax)
+    logits_q, _ = apply_fn(qvars, x, train=False,
+                           compute_dtype=jnp.float32)
+
+    pred_f = np.asarray(jnp.argmax(logits_f, -1))
+    pred_q = np.asarray(jnp.argmax(logits_q, -1))
+    # fresh-init logits are near-ties, so demand strong but not perfect
+    # agreement; trained models separate classes far more
+    assert (pred_f == pred_q).mean() > 0.95
+
+
+def test_quantized_blocks_refuse_training():
+    key = jax.random.PRNGKey(4)
+    params, state = _random_block(key, 8, 8)
+    pq = quantize_block(params, state, 1.0)
+    x = jnp.zeros((1, 8, 8, 8))
+    with pytest.raises(AssertionError):
+        conv_bn_relu_apply(pq, state, x, train=True)
+
+
+def test_quantized_export_stablehlo_roundtrip(tmp_path):
+    """A quantized Predictor exports a self-contained int8 StableHLO
+    module: the int8 weights are baked in as constants and the reloaded
+    artifact reproduces the quantized predictor's outputs bit-for-bit
+    (export traces self._variables, so quantize_int8 -> export composes
+    with no extra machinery)."""
+    import jax
+    from jax import export as jexport
+    from pytorch_camvid_tpu.serving import Predictor
+    from pytorch_camvid_tpu.models import get_model
+
+    init_fn, _ = get_model("unet", 3, 12)
+    variables = init_fn(jax.random.PRNGKey(5))
+    p = Predictor("unet", variables, batch_size=2, image_hw=(24, 32),
+                  compute_dtype=jnp.float32)
+    imgs = np.random.default_rng(6).integers(
+        0, 256, (2, 24, 32, 3), dtype=np.uint8)
+    p.quantize_int8(imgs)
+    want = p.predict(imgs)
+
+    path = str(tmp_path / "unet_int8.stablehlo")
+    p.export_stablehlo(path)
+    with open(path, "rb") as f:
+        reloaded = jexport.deserialize(f.read())
+    got = np.asarray(jax.jit(reloaded.call)(imgs))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_predictor_quantize_int8_roundtrip():
+    from pytorch_camvid_tpu.serving import Predictor
+    from pytorch_camvid_tpu.models import get_model
+    init_fn, _ = get_model("segnet", 3, 12)
+    variables = init_fn(jax.random.PRNGKey(0))
+    p = Predictor("segnet", variables, batch_size=2, image_hw=(32, 32),
+                  compute_dtype=jnp.float32)
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (3, 32, 32, 3), dtype=np.uint8)
+    ref = p.predict(imgs)
+    p.quantize_int8(imgs)
+    got = p.predict(imgs)
+    assert got.shape == ref.shape and got.dtype == np.uint8
+    assert (got == ref).mean() > 0.9
