@@ -58,14 +58,24 @@ def init_segnet(key: jax.Array, input_channels: int = 3, class_num: int = 12):
     return {"params": params, "state": state}
 
 
-def _pool_impl() -> str:
+def _pool_impl(quantized: bool = False) -> str:
     """Production pool/unpool pair selector: the Pallas packed-phase pair
     on TPU, the XLA argmax pair elsewhere (CPU tests/dryrun run the same
     math through ops/pooling.py). Override with PCT_POOL_IMPL=argmax /
-    pallas_phase."""
+    pallas_phase.
+
+    int8-quantized serving uses the XLA argmax pair even on TPU: the
+    Pallas pool/unpool custom calls are opaque to XLA fusion and layout
+    assignment, so the int8<->bf16 requantize/relayout traffic around
+    them materializes — measured whole-model 272 img/s (0.89x bf16) with
+    the Pallas pair vs 385 img/s (1.30x) with the XLA pair
+    (tools/int8_segnet_pool_ab.py, run_artifacts/int8_segnet_pool_ab.jsonl);
+    bf16 keeps the Pallas pair (305.5 vs 296.2 the other way)."""
     impl = os.environ.get("PCT_POOL_IMPL", "")
     if impl:
         return impl
+    if quantized:
+        return "argmax"
     return ("pallas_phase" if jax.default_backend() == "tpu"
             else "argmax")
 
@@ -97,7 +107,8 @@ def apply_segnet(variables, x: jax.Array, *, train: bool = False,
             max_pool_2x2_argmax_pallas, max_unpool_2x2_pallas)
         pool_fn, unpool_fn = (max_pool_2x2_argmax_pallas,
                               max_unpool_2x2_pallas)
-    elif _pool_impl() == "pallas_phase":
+    elif _pool_impl(
+            quantized="w_q" in params["encoder1"][0]) == "pallas_phase":
         # TPU production pair (round 3): packed-view Pallas pool emitting
         # int8 phases + natural-layout Pallas unpool, custom VJPs reusing
         # the same kernels for the backward — measured faster than the

@@ -25,6 +25,20 @@ Design (standard PTQ, TPU-shaped):
   resize / concat / pad all stay dense bf16 ops — requantization is
   elementwise and XLA fuses it into the surrounding ops, while the MXU
   gets int8 operands for every matmul-shaped FLOP in the model.
+- **Fused int8 handoff on direct conv->conv edges** (round 3): whole-model
+  measurement showed the per-block requantize does NOT fuse for free —
+  UNet int8 landed at 1.195x and SegNet at 0.895x (a net slowdown)
+  despite 1.4-2.0x per-conv speedups (PERF.md int8 section). Where block
+  i feeds block i+1 directly (consecutive entries of a stage's block
+  list — both models chain stages this way, models/unet.py::_stage,
+  models/segnet.py::apply_segnet), ``fuse_block_handoff`` stores the
+  successor's activation scale as ``s_out`` on the producer, whose
+  epilogue then emits the int8 operand the successor needs directly:
+  the bf16 intermediate is never materialized (int8 write + int8 read =
+  1/4 the HBM traffic of the unfused edge) and the consumer's separate
+  quantize op disappears. Numerics differ from the unfused path only by
+  quantizing from the f32 epilogue instead of its bf16 rounding — at
+  most 1 int8 LSB on round-boundary values (tested).
 
 The quantized model is a pure pytree transform: ``quantize_variables``
 maps trained ``{"params", "state"}`` -> the same tree with each block's
@@ -111,14 +125,42 @@ def calibrate(apply_fn, variables, batches, compute_dtype=jnp.bfloat16):
     return _map_blocks(vars_c["state"], lambda s: s["amax"])
 
 
-def quantize_variables(variables, amax_tree):
+def fuse_block_handoff(params_q):
+    """Mark direct conv->conv edges for fused int8 handoff (in place).
+
+    Both models store each stage's blocks as a LIST whose consecutive
+    entries are applied back-to-back with nothing in between
+    (models/unet.py::_stage, models/segnet.py::apply_segnet stage
+    closure); for every such edge the producer gets ``s_out`` = the
+    consumer's ``s_x``, so its epilogue emits the consumer's int8 operand
+    directly and the consumer skips its own input quantization. The last
+    block of each list keeps the compute-dtype output (it feeds a pool /
+    resize / concat / the logits)."""
+    if isinstance(params_q, dict):
+        return {k: fuse_block_handoff(v) for k, v in params_q.items()}
+    if isinstance(params_q, (list, tuple)):
+        out = [fuse_block_handoff(v) for v in params_q]
+        for i in range(len(out) - 1):
+            if (isinstance(out[i], dict) and "w_q" in out[i]
+                    and isinstance(out[i + 1], dict)
+                    and "w_q" in out[i + 1]):
+                out[i] = dict(out[i], s_out=out[i + 1]["s_x"])
+        return type(params_q)(out)
+    return params_q
+
+
+def quantize_variables(variables, amax_tree, fuse_handoff: bool = True):
     """Trained variables + calibrated amax tree -> int8 serving variables.
 
     The returned tree has the same structure; each block's params become
     {w_q, s_w, s_x, b_eff} (state is kept, unused, so tree paths stay
-    stable for sharding/serialization)."""
+    stable for sharding/serialization). fuse_handoff=True additionally
+    fuses direct conv->conv edges (see fuse_block_handoff); pass False
+    for the per-block-requantize reference path."""
     params_q = _zip3_blocks(variables["params"], variables["state"],
                             amax_tree, quantize_block)
+    if fuse_handoff:
+        params_q = fuse_block_handoff(params_q)
     return {"params": params_q, "state": variables["state"]}
 
 
@@ -138,12 +180,26 @@ def conv2d_int8(x_q: jax.Array, w_q: jax.Array) -> jax.Array:
 
 
 def quantized_block_apply(params_q, x: jax.Array, compute_dtype=jnp.bfloat16):
-    """relu(conv_int8(q(x), w_q) * (s_x*s_w) + b_eff) in the compute dtype."""
+    """relu(conv_int8(q(x), w_q) * (s_x*s_w) + b_eff) in the compute dtype.
+
+    Fused-handoff contract (fuse_block_handoff): an int8 ``x`` is already
+    quantized at this block's ``s_x`` by the producing block's epilogue
+    and is used as the conv operand directly; when ``s_out`` is present
+    the epilogue emits the NEXT block's int8 operand instead of a
+    compute-dtype activation."""
     s_x = params_q["s_x"]
-    # symmetric per-tensor activation quant; round-to-nearest-even like XLA
-    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
-                   -QMAX, QMAX).astype(jnp.int8)
+    if x.dtype == jnp.int8:
+        x_q = x
+    else:
+        # symmetric per-tensor activation quant; round-to-nearest-even
+        # like XLA
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                       -QMAX, QMAX).astype(jnp.int8)
     acc = conv2d_int8(x_q, params_q["w_q"])
     y = acc.astype(jnp.float32) * (s_x * params_q["s_w"]) \
         + params_q["b_eff"]
-    return jnp.maximum(y, 0.0).astype(compute_dtype)
+    y = jnp.maximum(y, 0.0)
+    if "s_out" in params_q:
+        return jnp.clip(jnp.round(y / params_q["s_out"]),
+                        -QMAX, QMAX).astype(jnp.int8)
+    return y.astype(compute_dtype)

@@ -107,6 +107,84 @@ def test_quantized_unet_agrees_with_float():
     assert (pred_f == pred_q).mean() > 0.95
 
 
+def test_fused_handoff_marks_direct_edges_only():
+    """fuse_block_handoff: every non-last block of a stage list gets
+    s_out == its successor's s_x; stage-final blocks (which feed a pool /
+    concat / the logits) keep compute-dtype output."""
+    from pytorch_camvid_tpu.models import get_model
+    init_fn, apply_fn = get_model("unet", 3, 12)
+    variables = init_fn(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    amax = calibrate(apply_fn, variables, [x], compute_dtype=jnp.float32)
+    qp = quantize_variables(variables, amax)["params"]
+    for name, blocks in qp.items():
+        for i, blk in enumerate(blocks):
+            if i < len(blocks) - 1:
+                assert "s_out" in blk, (name, i)
+                assert float(blk["s_out"]) == float(blocks[i + 1]["s_x"])
+            else:
+                assert "s_out" not in blk, (name, i)
+
+
+def test_fused_handoff_bitexact_at_f32_vs_unfused():
+    """With float32 compute, quantize-from-epilogue equals the unfused
+    path's quantize-from-activation exactly (the only difference in the
+    fused path is WHERE the rounding happens, and f32 removes the
+    intermediate bf16 rounding), so whole-model logits are bit-equal."""
+    from pytorch_camvid_tpu.models import get_model
+    for net in ("unet", "segnet"):
+        init_fn, apply_fn = get_model(net, 3, 12)
+        variables = init_fn(jax.random.PRNGKey(7))
+        x = jax.random.normal(jax.random.PRNGKey(8), (2, 32, 32, 3))
+        amax = calibrate(apply_fn, variables, [x],
+                         compute_dtype=jnp.float32)
+        q_unfused = quantize_variables(variables, amax, fuse_handoff=False)
+        q_fused = quantize_variables(variables, amax, fuse_handoff=True)
+        ref, _ = apply_fn(q_unfused, x, train=False,
+                          compute_dtype=jnp.float32)
+        got, _ = apply_fn(q_fused, x, train=False,
+                          compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=net)
+
+
+def test_fused_handoff_bf16_agreement():
+    """At bf16 compute the fused path can differ by 1 int8 LSB on round
+    boundaries; demand near-total argmax agreement on a whole model."""
+    from pytorch_camvid_tpu.models import get_model
+    init_fn, apply_fn = get_model("segnet", 3, 12)
+    variables = init_fn(jax.random.PRNGKey(9))
+    x = jax.random.normal(jax.random.PRNGKey(10), (1, 32, 32, 3))
+    amax = calibrate(apply_fn, variables, [x], compute_dtype=jnp.bfloat16)
+    q_unfused = quantize_variables(variables, amax, fuse_handoff=False)
+    q_fused = quantize_variables(variables, amax, fuse_handoff=True)
+    ref, _ = apply_fn(q_unfused, x, train=False,
+                      compute_dtype=jnp.bfloat16)
+    got, _ = apply_fn(q_fused, x, train=False, compute_dtype=jnp.bfloat16)
+    pred_r = np.asarray(jnp.argmax(ref, -1))
+    pred_g = np.asarray(jnp.argmax(got, -1))
+    assert (pred_r == pred_g).mean() > 0.95
+
+
+def test_quantized_segnet_pool_dispatch():
+    """int8-quantized SegNet serving selects the XLA argmax pool pair even
+    where the bf16 default would be the Pallas pair: the opaque Pallas
+    custom calls block the int8 requant/relayout fusion around them —
+    measured 0.89x vs 1.30x whole-model on chip (PERF.md int8 section).
+    An explicit PCT_POOL_IMPL still wins."""
+    import os
+    from pytorch_camvid_tpu.models.segnet import _pool_impl
+    prev = os.environ.pop("PCT_POOL_IMPL", None)
+    try:
+        assert _pool_impl(quantized=True) == "argmax"
+        os.environ["PCT_POOL_IMPL"] = "pallas_phase"
+        assert _pool_impl(quantized=True) == "pallas_phase"
+    finally:
+        os.environ.pop("PCT_POOL_IMPL", None)
+        if prev is not None:
+            os.environ["PCT_POOL_IMPL"] = prev
+
+
 def test_quantized_blocks_refuse_training():
     key = jax.random.PRNGKey(4)
     params, state = _random_block(key, 8, 8)
