@@ -7,7 +7,12 @@ This module packages the serving path properly:
 - optional fused Pallas serving kernels (ops/pallas_conv.py, opt-in),
 - bfloat16 compute with float32 logits,
 - automatic batching: any number of images pads up to the compiled batch,
-- normalization + resize handled on device with the training conventions.
+- normalization + resize handled on device with the training conventions,
+- optional multi-device data parallelism: pass a ``jax.sharding.Mesh``
+  and the compiled batch is sharded over its devices (weights
+  replicated, batch split — the serving analogue of the training DP
+  path in parallel/data_parallel.py). Per-image math is unchanged, so
+  sharded predictions are bit-identical to single-device ones.
 
 Example:
     p = Predictor.from_checkpoint("unet", ckpt_path, batch_size=8)
@@ -33,12 +38,25 @@ class Predictor:
     def __init__(self, net: str, variables, batch_size: int = 8,
                  image_hw: Tuple[int, int] = (360, 480),
                  num_classes: int = 12, use_pallas: bool = False,
-                 compute_dtype=jnp.bfloat16, settings=default_settings):
+                 compute_dtype=jnp.bfloat16, settings=default_settings,
+                 mesh=None):
         """use_pallas opts into the fused Mosaic kernels; it is measured at
         speed parity with the XLA path and some remote-compile environments
         cannot build whole-model kernel counts (ops/pallas_conv.py), so the
-        default is the XLA path."""
-        self._variables = variables
+        default is the XLA path.
+
+        mesh: optional ``jax.sharding.Mesh``. With >1 device the compiled
+        batch (which must divide by mesh.size) is sharded over every mesh
+        axis and the weights are replicated — data-parallel serving with
+        XLA placing the (nil) collectives. A 1-device mesh is treated as
+        no mesh: sharding annotations on a single device are semantically
+        no-ops but measured 4x slower through remote-attached backends
+        (PERF.md, the round-3 CLI-gap decomposition)."""
+        self._mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self._mesh is not None and batch_size % self._mesh.size:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over the "
+                f"{self._mesh.size}-device mesh")
         self._batch = batch_size
         self._hw = image_hw
         self.image_hw = image_hw  # public: the compiled working size
@@ -49,6 +67,14 @@ class Predictor:
         self._normalize = normalize
         self._compute_dtype = compute_dtype
 
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._batch_sharding = NamedSharding(
+                self._mesh, PartitionSpec(self._mesh.axis_names))
+            self._replicated = NamedSharding(self._mesh, PartitionSpec())
+            variables = jax.device_put(variables, self._replicated)
+        self._variables = variables
+
         def forward(variables, images_u8):
             x = normalize(images_u8)
             logits, _ = apply_fn(variables, x, train=False,
@@ -58,16 +84,25 @@ class Predictor:
             # bottleneck on remote-attached accelerators)
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
-        self._forward = jax.jit(forward)
-
         def resize_u8(images_u8):
             x = resize_bilinear_cv2(images_u8.astype(jnp.float32),
                                     (image_hw[0], image_hw[1]))
             return jnp.round(jnp.clip(x, 0, 255)).astype(jnp.uint8)
 
-        # per-chunk device resize for requests not at the working size;
-        # jit re-specializes per source shape (cached after first use)
-        self._resize = jax.jit(resize_u8)
+        if self._mesh is not None:
+            self._forward = jax.jit(
+                forward,
+                in_shardings=(self._replicated, self._batch_sharding),
+                out_shardings=self._batch_sharding)
+            self._resize = jax.jit(resize_u8,
+                                   in_shardings=(self._batch_sharding,),
+                                   out_shardings=self._batch_sharding)
+        else:
+            self._forward = jax.jit(forward)
+            # per-chunk device resize for requests not at the working
+            # size; jit re-specializes per source shape (cached after
+            # first use)
+            self._resize = jax.jit(resize_u8)
 
     @classmethod
     def from_checkpoint(cls, net: str, weight_path: str, **kw):
@@ -112,13 +147,20 @@ class Predictor:
             if len(chunk) < self._batch:  # tile up to the compiled batch
                 reps = -(-self._batch // len(chunk))
                 chunk = np.concatenate([chunk] * reps)[: self._batch]
-            dev = jnp.asarray(chunk)
+            if self._mesh is not None:
+                dev = jax.device_put(chunk, self._batch_sharding)
+            else:
+                dev = jnp.asarray(chunk)
             if chunk.shape[1:3] != (h, w):
                 dev = self._resize(dev)
             batches.append(self._normalize(dev))
         amax = calibrate(self._apply_fn, self._variables, batches,
                          compute_dtype=self._compute_dtype)
-        self._variables = quantize_variables(self._variables, amax)
+        variables = quantize_variables(self._variables, amax)
+        if self._mesh is not None:  # re-commit the int8 tree replicated
+            variables = jax.device_put(jax.device_get(variables),
+                                       self._replicated)
+        self._variables = variables
 
     def export_stablehlo(self, path: str, platforms=None):
         """Serialize the compiled serving function as a StableHLO artifact.
@@ -147,7 +189,10 @@ class Predictor:
 
         h, w = self._hw
         spec = jax.ShapeDtypeStruct((self._batch, h, w, 3), jnp.uint8)
-        variables = self._variables
+        # bake host copies: mesh-committed arrays would pin the artifact
+        # to this process's device set
+        variables = (jax.device_get(self._variables)
+                     if self._mesh is not None else self._variables)
         apply_fn, normalize = self._apply_fn, self._normalize
         cdt = self._compute_dtype
 
@@ -204,7 +249,10 @@ class Predictor:
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)])
             if len(inflight) >= max_inflight:
                 drain_one()
-            dev = jnp.asarray(chunk)
+            if self._mesh is not None:
+                dev = jax.device_put(chunk, self._batch_sharding)
+            else:
+                dev = jnp.asarray(chunk)
             if need_resize:
                 dev = self._resize(dev)
             inflight.append((self._forward(self._variables, dev), keep))

@@ -63,6 +63,9 @@ def main(argv=None):
                         help="post-training int8 quantization: calibrate "
                              "on the request's first images, then run "
                              "every conv on the MXU int8 path")
+    parser.add_argument("-dp", type=int, default=1,
+                        help="data-parallel serving over the first N "
+                             "local devices (batch must divide by N)")
     args = parser.parse_args(argv)
 
     from pytorch_camvid_tpu.runtime import enable_compilation_cache
@@ -73,9 +76,19 @@ def main(argv=None):
     files = list_images(args.input)
     os.makedirs(args.output, exist_ok=True)
 
+    mesh = None
+    if args.dp > 1:
+        import jax
+        from jax.sharding import Mesh
+        devices = jax.devices()
+        if len(devices) < args.dp:
+            raise SystemExit(f"-dp {args.dp} but only {len(devices)} "
+                             f"devices visible")
+        mesh = Mesh(np.array(devices[:args.dp]), ("data",))
+
     predictor = Predictor.from_checkpoint(
         args.net, args.weight, batch_size=args.b, num_classes=args.c,
-        use_pallas=args.pallas)
+        use_pallas=args.pallas, mesh=mesh)
 
     images = []
     for f in files:
