@@ -105,7 +105,8 @@ def _conv_fwd_flops(net: str, hw=(360, 480), num_classes: int = 12) -> float:
 
 
 def measure_train(net: str = "unet", batch_size: int = 24, steps: int = 100,
-                  warmup: int = 5, hw=(360, 480)) -> dict:
+                  warmup: int = 5, hw=(360, 480),
+                  remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     from pytorch_camvid_tpu.config import settings
@@ -132,7 +133,8 @@ def measure_train(net: str = "unet", batch_size: int = 24, steps: int = 100,
     total = steps + warmup + 1
     step = make_train_step(apply_fn, opt, onecycle_lr(5e-4, total),
                            onecycle_beta1(total), augment_fn=augment,
-                           compute_dtype=jnp.bfloat16, log_grad_norms=False)
+                           compute_dtype=jnp.bfloat16, log_grad_norms=False,
+                           remat=remat)
 
     # fold the batch gather into the jitted step: one XLA program per step
     def fused(state, data_i, data_l, idx):

@@ -82,24 +82,24 @@ def _pool_impl(quantized: bool = False) -> str:
 
 def apply_segnet(variables, x: jax.Array, *, train: bool = False,
                  axis_name: Optional[str] = None,
-                 compute_dtype=jnp.float32, use_pallas: bool = False):
+                 compute_dtype=jnp.float32, use_pallas: bool = False,
+                 remat: bool = False):
     """Forward pass. x: (N, H, W, C) float. Returns (logits NHWC, new_state).
 
     use_pallas=True (eval only) uses the fused conv and pool/unpool Pallas
-    kernels (ops/pallas_conv.py, ops/pallas_pool.py)."""
+    kernels (ops/pallas_conv.py, ops/pallas_pool.py). remat=True
+    checkpoints each conv stage (models/unet.py::_stage_fn) — pool indices
+    stay stored (the unpool needs them), conv activations recompute."""
+    from pytorch_camvid_tpu.models.unet import _stage_fn
     params, state = variables["params"], variables["state"]
     ns = {}
     pallas = use_pallas and not train
+    stage_fn = _stage_fn(train=train, axis_name=axis_name,
+                         compute_dtype=compute_dtype, use_pallas=use_pallas,
+                         remat=remat)
 
     def stage(n, v):
-        new_states = []
-        for p, s in zip(params[n], state[n]):
-            v, s2 = conv_bn_relu_apply(p, s, v, train=train,
-                                       axis_name=axis_name,
-                                       compute_dtype=compute_dtype,
-                                       use_pallas=use_pallas)
-            new_states.append(s2)
-        ns[n] = new_states
+        v, ns[n] = stage_fn(params[n], state[n], v)
         return v
 
     if pallas:

@@ -63,15 +63,26 @@ def init_unet(key: jax.Array, input_channels: int = 3, class_num: int = 12):
     return {"params": params, "state": state}
 
 
-def _stage(params, state, x, name, *, train, axis_name, compute_dtype,
-           use_pallas=False):
-    new_states = []
-    for p, s in zip(params[name], state[name]):
-        x, ns = conv_bn_relu_apply(p, s, x, train=train, axis_name=axis_name,
-                                   compute_dtype=compute_dtype,
-                                   use_pallas=use_pallas)
-        new_states.append(ns)
-    return x, new_states
+def _stage_fn(*, train, axis_name, compute_dtype, use_pallas=False,
+              remat=False):
+    """Pure per-stage body (list of conv+BN+ReLU blocks). With remat=True
+    the stage is wrapped in ``jax.checkpoint``: the backward recomputes the
+    stage's activations from its input instead of storing them — activation
+    memory drops to roughly one tensor per stage at the cost of one extra
+    forward (the standard TPU HBM<->FLOPs trade; unlike grad_accum this
+    keeps full-batch BatchNorm statistics)."""
+
+    def stage(stage_params, stage_state, x):
+        new_states = []
+        for p, s in zip(stage_params, stage_state):
+            x, ns = conv_bn_relu_apply(p, s, x, train=train,
+                                       axis_name=axis_name,
+                                       compute_dtype=compute_dtype,
+                                       use_pallas=use_pallas)
+            new_states.append(ns)
+        return x, new_states
+
+    return jax.checkpoint(stage) if remat else stage
 
 
 def _pad_to_match(x: jax.Array, skip: jax.Array) -> jax.Array:
@@ -84,18 +95,21 @@ def _pad_to_match(x: jax.Array, skip: jax.Array) -> jax.Array:
 
 def apply_unet(variables, x: jax.Array, *, train: bool = False,
                axis_name: Optional[str] = None,
-               compute_dtype=jnp.float32, use_pallas: bool = False):
+               compute_dtype=jnp.float32, use_pallas: bool = False,
+               remat: bool = False):
     """Forward pass. x: (N, H, W, C) float. Returns (logits NHWC, new_state).
 
     use_pallas=True (eval only) runs every conv block through the fused
-    Pallas kernel (ops/pallas_conv.py)."""
+    Pallas kernel (ops/pallas_conv.py). remat=True checkpoints each stage
+    (see _stage_fn) — same math, ~per-stage activation memory."""
     params, state = variables["params"], variables["state"]
     ns = {}
+    stage_fn = _stage_fn(train=train, axis_name=axis_name,
+                         compute_dtype=compute_dtype, use_pallas=use_pallas,
+                         remat=remat)
 
     def stage(n, v):
-        y, ns[n] = _stage(params, state, v, n, train=train,
-                          axis_name=axis_name, compute_dtype=compute_dtype,
-                          use_pallas=use_pallas)
+        y, ns[n] = stage_fn(params[n], state[n], v)
         return y
 
     x = x.astype(compute_dtype)

@@ -68,6 +68,10 @@ class TrainConfig:
     # split each batch into this many sequential microbatches (lax.scan):
     # ~grad_accum-fold lower activation memory at the same effective batch
     grad_accum: int = 1
+    # checkpoint each model stage (jax.checkpoint): backward recomputes
+    # stage activations instead of storing them — lower activation memory
+    # with FULL-batch BN statistics (grad_accum's are per-microbatch)
+    remat: bool = False
     # stop with a clear error when the loss goes NaN/Inf (SURVEY.md §5.3:
     # the reference's only fault detection is lr_finder's divergence stop)
     nan_guard: bool = True
@@ -256,7 +260,7 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                            onecycle_beta1(total_steps), class_weights=cw,
                            ignore_index=loss_ignore,
                            augment_fn=augment, compute_dtype=dtype,
-                           grad_accum=cfg.grad_accum)
+                           grad_accum=cfg.grad_accum, remat=cfg.remat)
     use_chain = cfg.dispatch_chain > 1 and cfg.loader == "device"
     if use_chain:
         from pytorch_camvid_tpu.parallel import jit_chain_train_step

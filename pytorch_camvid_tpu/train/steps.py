@@ -50,7 +50,8 @@ def make_train_step(apply_fn, optimizer, lr_schedule,
                     axis_name: Optional[str] = None,
                     compute_dtype=jnp.float32,
                     log_grad_norms: bool = True,
-                    grad_accum: int = 1):
+                    grad_accum: int = 1,
+                    remat: bool = False):
     """Build a pure train step: (state, (images, labels)) -> (state, metrics).
 
     images: float NHWC already normalized, or raw uint8 if augment_fn is
@@ -63,14 +64,20 @@ def make_train_step(apply_fn, optimizer, lr_schedule,
     microbatch by its own statistics and the running stats are threaded
     through the scan (the same semantics torch exhibits when calling
     ``backward`` per microbatch and ``step`` once).
+
+    remat=True checkpoints each model stage (models/unet.py::_stage_fn):
+    the backward recomputes stage activations instead of storing them —
+    the other activation-memory lever, keeping full-batch BN statistics
+    where grad_accum changes them to per-microbatch.
     """
+    apply_kw = {"remat": True} if remat else {}
 
     def _grad_one(params, bn_state, images, labels):
         def loss_fn(p):
             logits, new_bn = apply_fn(
                 {"params": p, "state": bn_state}, images,
                 train=True, axis_name=axis_name,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype, **apply_kw)
             loss = cross_entropy_loss(logits, labels, class_weights,
                                       ignore_index)
             return loss, new_bn

@@ -163,3 +163,35 @@ def test_backward_prunes_stem_input_gradient():
     assert len(convs) == 68  # 23 + 22 + 23
     stem_dx = [l for l in convs if f"{B},{H},{W},3]" in l]
     assert stem_dx == []
+
+
+def test_remat_step_matches_plain():
+    """Stage rematerialization (jax.checkpoint) is a pure memory/FLOPs
+    trade: one f32 train step with remat must produce the same loss,
+    gradient-derived update, and BN state as the plain step (identical
+    math, recomputed instead of stored)."""
+    import pytest
+
+    for model, hw in (("unet", (48, 64)), ("segnet", (32, 32))):
+        x, y, variables, apply_fn = _setup(model, hw=hw, n=4)
+        opt = adamw(weight_decay=0.0)
+        kw = dict(class_weights=None, augment_fn=None,
+                  compute_dtype=jnp.float32)
+        plain = jax.jit(make_train_step(
+            apply_fn, opt, onecycle_lr(1e-3, 10), onecycle_beta1(10), **kw))
+        remat = jax.jit(make_train_step(
+            apply_fn, opt, onecycle_lr(1e-3, 10), onecycle_beta1(10),
+            remat=True, **kw))
+
+        s1, m1 = plain(TrainState.create(variables, opt), (x, y))
+        s2, m2 = remat(TrainState.create(variables, opt), (x, y))
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                  rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=2e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.bn_state),
+                        jax.tree_util.tree_leaves(s2.bn_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=2e-7)

@@ -54,6 +54,11 @@ if __name__ == "__main__":
                         metavar=("W", "H"),
                         help="working size in cv2 (W, H) order; default "
                         "settings.IMAGE_SIZE = (480, 360)")
+    parser.add_argument("-remat", action="store_true", default=False,
+                        help="rematerialize (jax.checkpoint) each model "
+                             "stage: backward recomputes activations — "
+                             "fits larger batches in HBM with full-batch "
+                             "BN statistics (unlike -accum)")
     parser.add_argument("-accum", type=int, default=1,
                         help="gradient-accumulation microbatches per step "
                         "(batch must divide; lowers activation memory)")
@@ -121,7 +126,7 @@ if __name__ == "__main__":
         compute_dtype=args.dtype, data_parallel=args.dp,
         checkpoint_dir=checkpoint_path, log_dir=log_dir, quiet=args.quiet,
         save_epoch=settings.SAVE_EPOCH, loss_ignore_index=loss_ignore,
-        loader=args.loader, grad_accum=args.accum,
+        loader=args.loader, grad_accum=args.accum, remat=args.remat,
         dispatch_chain=args.chain)
 
     logger = SummaryLogger(log_dir) if primary else None
