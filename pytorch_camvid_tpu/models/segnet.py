@@ -42,8 +42,19 @@ def _segnet_spec(in_ch: int, num_classes: int):
     ]
 
 
-def init_segnet(key: jax.Array, input_channels: int = 3, class_num: int = 12):
+def init_segnet(key: jax.Array, input_channels: int = 3, class_num: int = 12,
+                width_mult: float = 1.0):
+    """width_mult < 1 scales internal channels (see models/unet.py:init_unet
+    — same contract: apply reads channels from params, so narrow inits need
+    no apply changes)."""
     spec = _segnet_spec(input_channels, class_num)
+    if width_mult != 1.0:
+        def s(c):
+            return max(4, int(round(c * width_mult)))
+        spec = [(name, [(s(a), s(b)) for a, b in pairs])
+                for name, pairs in spec]
+        spec[0][1][0] = (input_channels, spec[0][1][0][1])
+        spec[-1][1][-1] = (spec[-1][1][-1][0], class_num)
     n_blocks = sum(len(pairs) for _, pairs in spec)
     keys = jax.random.split(key, n_blocks)
     params, state = {}, {}

@@ -47,8 +47,21 @@ def _unet_spec(in_ch: int, num_classes: int):
     ]
 
 
-def init_unet(key: jax.Array, input_channels: int = 3, class_num: int = 12):
+def init_unet(key: jax.Array, input_channels: int = 3, class_num: int = 12,
+              width_mult: float = 1.0):
+    """width_mult < 1 scales every internal channel count (data-facing
+    input_channels / class_num edges untouched). apply_unet reads channel
+    counts from the params tree, so a narrow init needs no apply changes —
+    used by the multichip dryrun to test sharding *plumbing* without paying
+    the 34.5M-param flagship's single-core XLA compile time."""
     spec = _unet_spec(input_channels, class_num)
+    if width_mult != 1.0:
+        def s(c):
+            return max(4, int(round(c * width_mult)))
+        spec = [(name, [(s(a), s(b)) for a, b in pairs])
+                for name, pairs in spec]
+        spec[0][1][0] = (input_channels, spec[0][1][0][1])
+        spec[-1][1][-1] = (spec[-1][1][-1][0], class_num)
     n_blocks = sum(len(pairs) for _, pairs in spec)
     keys = jax.random.split(key, n_blocks)
     params, state = {}, {}

@@ -53,6 +53,81 @@ def conv3x3_halo(x: jax.Array, w: jax.Array, axis_name: str = DATA_AXIS
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def encoder_stage_halo(params_list, states_list, x: jax.Array,
+                       axis_name: str = DATA_AXIS) -> jax.Array:
+    """A full encoder stage — k conv3x3+BN+ReLU blocks then 2x2 max pool —
+    on an H-sharded (N, H_local, W, C) block, with ONE halo exchange for
+    the whole stage (halo widening): instead of a ppermute per conv, each
+    shard fetches k boundary rows per side up front and every conv runs
+    VALID in H on the shrinking extended block. k-1 fewer ICI hops per
+    stage; BN (eval running stats) and ReLU are per-channel elementwise so
+    they commute with the halo rows. Pooling windows are 2x2
+    non-overlapping, so with H_local even they never straddle a shard
+    boundary — the stage is bit-identical to its unsharded form
+    (tests/test_spatial_halo.py). Must run inside shard_map.
+
+    SURVEY.md §5.7 stage-level extension (VERDICT r3 #7): promotes the
+    single-op halo conv demo to a model-stage path.
+    """
+    from pytorch_camvid_tpu.ops.conv import BN_EPS
+
+    ndev = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    k = len(params_list)
+    assert x.shape[1] % 2 == 0, "H_local must be even for the 2x2 pool"
+
+    top_rows = x[:, :k]
+    bot_rows = x[:, -k:]
+    halo_top = lax.ppermute(bot_rows, axis_name,
+                            [(i, (i + 1) % ndev) for i in range(ndev)])
+    halo_bot = lax.ppermute(top_rows, axis_name,
+                            [(i, (i - 1) % ndev) for i in range(ndev)])
+    halo_top = jnp.where(idx == 0, jnp.zeros_like(halo_top), halo_top)
+    halo_bot = jnp.where(idx == ndev - 1, jnp.zeros_like(halo_bot),
+                         halo_bot)
+    xh = jnp.concatenate([halo_top, x, halo_bot], axis=1)
+
+    for j, (p, s) in enumerate(zip(params_list, states_list)):
+        y = lax.conv_general_dilated(
+            xh, p["w"].astype(xh.dtype), (1, 1),
+            ((0, 0), (1, 1)),  # VALID in H (halo rows supply it), pad-1 W
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + p["b"].astype(y.dtype)
+        y = y.astype(jnp.float32)
+        inv = lax.rsqrt(s["var"] + BN_EPS) * p["scale"]
+        y = (y - s["mean"]) * inv + p["bias"]
+        xh = jnp.maximum(y, 0.0).astype(x.dtype)
+        # re-assert the global pad-1 zeros: the next conv must see ZERO in
+        # the rows beyond the image boundary, but halo widening computed
+        # real (conv+BN+ReLU of zero-pad) values there on the edge shards
+        d = k - (j + 1)
+        if d > 0:
+            rows = jnp.arange(xh.shape[1])[None, :, None, None]
+            beyond = (((idx == 0) & (rows < d))
+                      | ((idx == ndev - 1) & (rows >= xh.shape[1] - d)))
+            xh = jnp.where(beyond, jnp.zeros_like(xh), xh)
+
+    # (N, H_local, W, C') after k VALID convs; local 2x2 max pool
+    return lax.reduce_window(
+        xh, -jnp.inf if jnp.issubdtype(xh.dtype, jnp.floating)
+        else jnp.array(jnp.iinfo(xh.dtype).min, xh.dtype),
+        lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def make_spatial_stage(mesh: Mesh, axis_name: str = DATA_AXIS):
+    """jit'ed H-sharded encoder stage (see encoder_stage_halo): x sharded
+    (None, axis, None, None), block params/states replicated, pooled
+    output H-sharded."""
+    mapped = jax.shard_map(
+        partial(encoder_stage_halo, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, axis_name, None, None)),
+        out_specs=P(None, axis_name, None, None),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def make_spatial_conv(mesh: Mesh, axis_name: str = DATA_AXIS):
     """jit'ed H-sharded conv: x sharded (None, axis, None, None), w
     replicated, output H-sharded."""

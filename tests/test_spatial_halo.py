@@ -30,3 +30,42 @@ def test_halo_conv_matches_unsharded():
     # output stays H-sharded (no implicit gather); specs normalize
     # trailing Nones
     assert tuple(got.sharding.spec)[:2] == (None, DATA_AXIS)
+
+
+def test_halo_stage_matches_unsharded():
+    """Stage-level spatial parallelism (VERDICT r3 #7): a full encoder
+    stage — conv+BN+ReLU pair then 2x2 pool — H-sharded with ONE widened
+    halo exchange, equal to the unsharded stage."""
+    from pytorch_camvid_tpu.ops.conv import (conv_bn_relu_init,
+                                             conv_bn_relu_apply)
+    from pytorch_camvid_tpu.ops.pooling import max_pool_2x2
+    from pytorch_camvid_tpu.parallel.spatial import make_spatial_stage
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 48, 16, 8)).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+    blocks = [conv_bn_relu_init(keys[0], 8, 8),
+              conv_bn_relu_init(keys[1], 8, 8)]
+    # non-trivial BN running stats so the eval normalization is exercised
+    for _, s in blocks:
+        s["mean"] = jnp.asarray(
+            rng.normal(size=s["mean"].shape).astype(np.float32))
+        s["var"] = jnp.asarray(
+            rng.uniform(0.5, 2.0, s["var"].shape).astype(np.float32))
+    params = [p for p, _ in blocks]
+    states = [s for _, s in blocks]
+
+    want = x
+    for p, s in blocks:
+        want, _ = conv_bn_relu_apply(p, s, want, train=False)
+    want = max_pool_2x2(want)
+
+    mesh = make_mesh()
+    stage = make_spatial_stage(mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, DATA_AXIS)))
+    got = stage(params, states, xs)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    assert tuple(got.sharding.spec)[:2] == (None, DATA_AXIS)
