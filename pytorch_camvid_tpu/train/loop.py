@@ -277,6 +277,31 @@ def run_training(cfg: TrainConfig, train_ds, val_ds,
                        loss_ignore_index=tuple(eval_loss_ignore),
                        compute_dtype=dtype), mesh)
 
+    if logger is not None and cfg.log_dir:
+        # the reference logs the model graph to TB once per run
+        # (train.py:97-98 via utils.visualize_network, utils.py:10-13);
+        # the TPU-native equivalents: a param/shape table as TB text plus
+        # the jitted train step's StableHLO module in the run dir
+        try:
+            import os
+            from pytorch_camvid_tpu.utils.summary import (
+                visualize_network, dump_program)
+            visualize_network(logger, state.variables(), cfg.net)
+            img_sd = jax.ShapeDtypeStruct(
+                (cfg.batch_size,) + tuple(train_ds.images.shape[1:]),
+                train_ds.images.dtype)
+            lbl_sd = jax.ShapeDtypeStruct(
+                (cfg.batch_size,) + tuple(train_ds.labels.shape[1:]),
+                train_ds.labels.dtype)
+            dump_program(
+                train_step if train_step is not None else jax.jit(step),
+                (state, (img_sd, lbl_sd)),
+                os.path.join(cfg.log_dir,
+                             f"program_{cfg.net}.stablehlo.txt"))
+        except Exception as e:  # a graph-dump failure must not kill a run
+            if not quiet:
+                print(f"program dump skipped: {e}")
+
     if rep is not None:
         from pytorch_camvid_tpu.parallel import put_global_tree
         state = put_global_tree(state, rep)

@@ -34,3 +34,18 @@ def visualize_network(logger, variables, name: str = "model"):
     if getattr(logger, "_writer", None) is not None:
         logger._writer.add_text(f"{name}/summary", f"```\n{text}\n```")
     return text
+
+
+def dump_program(jitted_fn, args, path: str) -> str:
+    """Write a jitted function's StableHLO module text to ``path``.
+
+    The TPU-native analogue of the reference's ``visualize_network`` TB
+    ``add_graph`` (utils.py:10-13, called at train.py:97-98): under jit
+    the *compiled program* is the model graph — every conv, BN, collective
+    and fusion boundary, in the form the hardware actually runs. Costs one
+    trace+lower (no backend compile); args may be concrete arrays or
+    ``jax.ShapeDtypeStruct``s."""
+    text = jitted_fn.lower(*args).as_text()
+    with open(path, "w") as f:
+        f.write(text)
+    return path

@@ -22,6 +22,53 @@ def test_summary_counts():
     assert "down1" in text and "output" in text
 
 
+def test_dump_program_writes_stablehlo(tmp_path):
+    """dump_program (the visualize_network/add_graph analogue,
+    utils.py:10-13) writes the jitted step's StableHLO module text."""
+    from pytorch_camvid_tpu.utils.summary import dump_program
+
+    init_fn, apply_fn = get_model("unet", 3, 12)
+    v = init_fn(jax.random.PRNGKey(0), width_mult=0.125)
+    f = jax.jit(lambda v, x: apply_fn(v, x, train=False)[0])
+    x = jax.ShapeDtypeStruct((1, 48, 64, 3), jnp.float32)
+    path = dump_program(f, (v, x), str(tmp_path / "program.stablehlo.txt"))
+    text = open(path).read()
+    assert "module" in text and "stablehlo" in text
+    assert "convolution" in text  # the convs are in the dumped graph
+
+
+def test_train_run_dumps_program(tmp_path, monkeypatch):
+    """run_training writes program_<net>.stablehlo.txt into the run dir
+    once per run (train.py:97-98 parity surface)."""
+    import os
+    from pytorch_camvid_tpu.data.synthetic import synthetic_arrays
+    from pytorch_camvid_tpu.train.loop import run_training, TrainConfig
+    from pytorch_camvid_tpu.utils import SummaryLogger
+
+    class _DS:
+        def __init__(self, n, seed=0):
+            self.images, self.labels = synthetic_arrays(n, (48, 64), 12,
+                                                        seed)
+            self.class_num, self.ignore_index = 12, 11
+            self.class_names = [str(i) for i in range(12)]
+
+    monkeypatch.chdir(tmp_path)
+    train_ds = _DS(4)
+    val_ds = _DS(2, seed=1)
+    log_dir = str(tmp_path / "runs")
+    cfg = TrainConfig(net="unet", batch_size=2, lr=1e-3, epochs=1,
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      log_dir=log_dir, quiet=True, data_parallel=1)
+    logger = SummaryLogger(log_dir)
+    try:
+        run_training(cfg, train_ds, val_ds, logger=logger)
+    finally:
+        logger.close()
+    path = os.path.join(log_dir, "program_unet.stablehlo.txt")
+    assert os.path.exists(path)
+    assert "stablehlo" in open(path).read()
+
+
 def test_colorize_and_plot(tmp_path):
     masks = np.random.default_rng(0).integers(
         0, 12, size=(4, 20, 30)).astype(np.uint8)
