@@ -25,6 +25,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -33,10 +34,15 @@ def max_pool_2x2(x: jax.Array) -> jax.Array:
     n, h, w, c = x.shape
     h2, w2 = h // 2, w // 2
     x = x[:, : 2 * h2, : 2 * w2, :]
+    # init as a NUMPY scalar of x's dtype: a python int lands as int32
+    # (dtype mismatch on int8 inputs), a jnp array breaks reduce_window's
+    # VJP ("linearization failed to produce known values")
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = np.asarray(-jnp.inf, x.dtype)[()]
+    else:
+        init = np.asarray(jnp.iinfo(x.dtype).min, x.dtype)[()]
     return lax.reduce_window(
-        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else
-        jnp.iinfo(x.dtype).min,
-        lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        x, init, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
 def max_pool_2x2_with_argmax(x: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -39,6 +39,14 @@ Design (standard PTQ, TPU-shaped):
   quantize op disappears. Numerics differ from the unfused path only by
   quantizing from the f32 epilogue instead of its bf16 rounding — at
   most 1 int8 LSB on round-boundary values (tested).
+- **Pool-edge fusion + mixed precision** (round 4, measured in
+  run_artifacts/int8_model_decomp.jsonl / PERF.md round-4 int8 section):
+  ``fuse_pool_edges`` extends the handoff ACROSS max-pool/unpool
+  boundaries where the producer has no other consumer (SegNet's 9
+  boundaries: 1.284x -> 1.564x whole-model; UNet has none — its encoder
+  outputs double as decoder skips), and ``min_cout`` keeps narrow-cout
+  blocks (the 12-class head, a measured 0.86x int8 LOSS under 64-lane
+  MXU padding) in the compute dtype.
 
 The quantized model is a pure pytree transform: ``quantize_variables``
 maps trained ``{"params", "state"}`` -> the same tree with each block's
@@ -149,18 +157,89 @@ def fuse_block_handoff(params_q):
     return params_q
 
 
-def quantize_variables(variables, amax_tree, fuse_handoff: bool = True):
+# Stage edges that cross ONLY a max-pool / max-unpool between stage-final
+# and stage-initial conv blocks, with the producer's output consumed by
+# NOTHING else. Max-pool commutes exactly with the monotone symmetric
+# quantization map (round/clip is non-decreasing, so the window max
+# quantizes to the max of the quantized window), and unpool is a value
+# scatter whose fill is 0 == quantize(0) — so the producer can emit the
+# consumer's int8 operand ACROSS the pool: the pool moves half the HBM
+# bytes and the consumer's requantize pass disappears.
+#
+# SegNet qualifies on every boundary: its skips are the pooled argmax
+# INDICES, never values (models/segnet.py::apply_segnet), so each
+# encoder/decoder output has exactly one consumer. UNet does NOT: every
+# encoder stage output is also a decoder skip (models/unet.py::apply_unet
+# concatenates xd1..xd4), so emitting int8 there replaces the bf16 skip
+# values with doubly-quantized ones — measured 62% logit mismatch /
+# 0.84 argmax agreement on the fused tree, i.e. a quality regression, not
+# an optimization (and its decoder edges cross a bilinear upsample, where
+# linear interpolation does not commute with rounding). UNet therefore
+# has no pool-fusable edges.
+_POOL_EDGES = {
+    "encoder1": [("encoder1", "encoder2"), ("encoder2", "encoder3"),
+                 ("encoder3", "encoder4"), ("encoder4", "encoder5"),
+                 ("encoder5", "decoder5"), ("decoder5", "decoder4"),
+                 ("decoder4", "decoder3"), ("decoder3", "decoder2"),
+                 ("decoder2", "decoder1")],
+}
+
+
+def fuse_pool_edges(params_q):
+    """Fuse the int8 handoff across max-pool/unpool stage boundaries (see
+    _POOL_EDGES). Model family auto-detected from stage names; unknown
+    trees pass through unchanged. SegNet note: the pool's tie-breaking
+    argmax runs on quantized values, so near-ties can select a different
+    (equal-valued) position than the float pool — unpool placement may
+    differ there; UNet's plain max is bit-exact at f32 compute
+    (tests/test_quant.py)."""
+    if not isinstance(params_q, dict):
+        return params_q
+    edges = next((v for k, v in _POOL_EDGES.items() if k in params_q),
+                 None)
+    if edges is None:
+        return params_q
+    out = dict(params_q)
+    for a, c in edges:
+        ba, bc = out.get(a), out.get(c)
+        if (ba and bc and isinstance(ba[-1], dict) and "w_q" in ba[-1]
+                and isinstance(bc[0], dict) and "w_q" in bc[0]
+                and "s_out" not in ba[-1]):
+            ba = list(ba)
+            ba[-1] = dict(ba[-1], s_out=bc[0]["s_x"])
+            out[a] = type(params_q[a])(ba)
+    return out
+
+
+def quantize_variables(variables, amax_tree, fuse_handoff: bool = True,
+                       min_cout: int = 64, fuse_pool: bool = True):
     """Trained variables + calibrated amax tree -> int8 serving variables.
 
     The returned tree has the same structure; each block's params become
     {w_q, s_w, s_x, b_eff} (state is kept, unused, so tree paths stay
     stable for sharding/serialization). fuse_handoff=True additionally
     fuses direct conv->conv edges (see fuse_block_handoff); pass False
-    for the per-block-requantize reference path."""
+    for the per-block-requantize reference path.
+
+    min_cout: blocks with fewer output channels stay in the compute
+    dtype (mixed-precision PTQ). The MXU pads lanes to 64 either way, so
+    a narrow head gains nothing from int8 operands while still paying
+    input-quantize + f32-dequant epilogue — measured 0.86x on UNet's
+    64->12 head at 360x480 (run_artifacts/int8_model_decomp.jsonl,
+    PERF.md round-4 int8 decomposition). Quality: the head stays at full
+    serving precision, which can only help mIOU. Pass min_cout=0 for the
+    quantize-everything round-3 behavior."""
+    def q_or_keep(params, state, amax):
+        if params["w"].shape[-1] < min_cout:
+            return params
+        return quantize_block(params, state, amax)
+
     params_q = _zip3_blocks(variables["params"], variables["state"],
-                            amax_tree, quantize_block)
+                            amax_tree, q_or_keep)
     if fuse_handoff:
         params_q = fuse_block_handoff(params_q)
+        if fuse_pool:
+            params_q = fuse_pool_edges(params_q)
     return {"params": params_q, "state": variables["state"]}
 
 

@@ -88,6 +88,48 @@ def resize_bilinear_cv2(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
         x, _interp_matrix_half_pixel(h, ho), _interp_matrix_half_pixel(w, wo))
 
 
+def resize_bilinear_cv2_dynamic(x: jax.Array, src_h, src_w,
+                                out_hw: Tuple[int, int]) -> jax.Array:
+    """cv2 half-pixel bilinear resize whose SOURCE extent is dynamic.
+
+    x: (N, Hb, Wb, C) float — a padded buffer of STATIC bucket shape whose
+    top-left (src_h, src_w) region holds the image; src_h/src_w: traced
+    int32 scalars. Sampling coordinates never exceed src-1, so the pad
+    content is never read and the result equals ``resize_bilinear_cv2`` on
+    the unpadded image (oracle-tested vs cv2 in tests/test_resize.py).
+
+    This is the serving shape policy (serving.py): arbitrary request
+    sizes round UP to a coarse bucket grid and share ONE compiled program
+    per bucket — the jit cache is bounded by the bucket count, not by how
+    many distinct image sizes a long-lived server ever sees. Gather+lerp
+    instead of the static path's einsum because the interpolation weights
+    depend on the traced extent (a dynamic matrix would defeat XLA's
+    constant folding and rebuild per call anyway)."""
+    ho, wo = out_hw
+    f = x.astype(jnp.float32)
+
+    def axis(n_out, src_n):
+        src_n = jnp.asarray(src_n, jnp.float32)
+        src = ((jnp.arange(n_out, dtype=jnp.float32) + 0.5)
+               * (src_n / n_out) - 0.5)
+        lo = jnp.floor(src)
+        frac = src - lo
+        lo0 = jnp.clip(lo, 0, src_n - 1).astype(jnp.int32)
+        lo1 = jnp.clip(lo + 1, 0, src_n - 1).astype(jnp.int32)
+        return lo0, lo1, frac
+
+    y0, y1, fy = axis(ho, src_h)
+    fh = fy[None, :, None, None]
+    yv = (jnp.take(f, y0, axis=1) * (1.0 - fh)
+          + jnp.take(f, y1, axis=1) * fh)
+    x0, x1, fx = axis(wo, src_w)
+    fw = fx[None, None, :, None]
+    out = (jnp.take(yv, x0, axis=2) * (1.0 - fw)
+           + jnp.take(yv, x1, axis=2) * fw)
+    return out.astype(x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
+                      else jnp.float32)
+
+
 @lru_cache(maxsize=None)
 def _nearest_indices_cv2(n_in: int, n_out: int) -> np.ndarray:
     # cv2 INTER_NEAREST: sx = floor(dst * (n_in/n_out)), clamped.

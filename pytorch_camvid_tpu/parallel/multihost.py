@@ -34,7 +34,8 @@ import jax
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None,
-                     local_device_ids=None):
+                     local_device_ids=None,
+                     initialization_timeout: Optional[int] = None):
     """Initialize the JAX distributed runtime (call BEFORE any other jax
     use — the backend freezes at first device query).
 
@@ -42,6 +43,13 @@ def init_distributed(coordinator_address: Optional[str] = None,
     ``PCT_PROC_ID`` environment (our launcher contract) and falls back to
     ``jax.distributed.initialize()``'s own auto-detection (TPU pod
     metadata) when they are unset. Returns (process_index, process_count).
+
+    initialization_timeout (seconds; also env ``PCT_INIT_TIMEOUT``):
+    how long workers wait for the coordinator and for each other before
+    giving up. On oversubscribed hosts (CI, a 1-core box compiling in
+    N processes at once) workers can start minutes apart — pass a
+    generous value there; forwarded only when this jax version supports
+    the parameter.
     """
     coordinator_address = coordinator_address or os.environ.get(
         "PCT_COORDINATOR")
@@ -49,10 +57,19 @@ def init_distributed(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ["PCT_NUM_PROCS"])
     if process_id is None and os.environ.get("PCT_PROC_ID"):
         process_id = int(os.environ["PCT_PROC_ID"])
+    if initialization_timeout is None and os.environ.get(
+            "PCT_INIT_TIMEOUT"):
+        initialization_timeout = int(os.environ["PCT_INIT_TIMEOUT"])
+    kw = {}
+    if initialization_timeout is not None:
+        import inspect
+        sig = inspect.signature(jax.distributed.initialize)
+        if "initialization_timeout" in sig.parameters:
+            kw["initialization_timeout"] = initialization_timeout
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id,
-                               local_device_ids=local_device_ids)
+                               local_device_ids=local_device_ids, **kw)
     return jax.process_index(), jax.process_count()
 
 

@@ -107,11 +107,56 @@ def test_quantized_unet_agrees_with_float():
     assert (pred_f == pred_q).mean() > 0.95
 
 
+def test_min_cout_keeps_narrow_head_float():
+    """Mixed-precision PTQ (round 4): blocks with cout < min_cout stay in
+    the compute dtype — the MXU pads lanes to 64 either way, and the
+    measured int8 'speedup' on the 64->12 head is 0.86x (PERF.md round-4
+    int8 decomposition). min_cout=0 restores quantize-everything."""
+    from pytorch_camvid_tpu.models import get_model
+    for net in ("unet", "segnet"):
+        init_fn, apply_fn = get_model(net, 3, 12)
+        variables = init_fn(jax.random.PRNGKey(3))
+        x = jax.random.normal(jax.random.PRNGKey(4), (1, 32, 32, 3))
+        amax = calibrate(apply_fn, variables, [x],
+                         compute_dtype=jnp.float32)
+
+        q = quantize_variables(variables, amax)["params"]
+        q_all = quantize_variables(variables, amax, min_cout=0)["params"]
+        n_kept = 0
+        for name in q:
+            for i, blk in enumerate(q[name]):
+                cout = variables["params"][name][i]["w"].shape[-1]
+                if cout < 64:
+                    assert "w" in blk and "w_q" not in blk, (net, name, i)
+                    n_kept += 1
+                else:
+                    assert "w_q" in blk, (net, name, i)
+                assert "w_q" in q_all[name][i], (net, name, i)
+        assert n_kept == 1, net  # exactly the 12-class head
+
+        # the mixed tree still runs and agrees with the float forward at
+        # argmax level (head at full precision can only tighten this)
+        logits_f, _ = apply_fn(variables, x, train=False,
+                               compute_dtype=jnp.float32)
+        logits_q, _ = apply_fn({"params": q,
+                                "state": variables["state"]}, x,
+                               train=False, compute_dtype=jnp.float32)
+        agree = (np.asarray(jnp.argmax(logits_f, -1))
+                 == np.asarray(jnp.argmax(logits_q, -1))).mean()
+        assert agree > 0.95, (net, agree)
+
+
 def test_fused_handoff_marks_direct_edges_only():
     """fuse_block_handoff: every non-last block of a stage list gets
-    s_out == its successor's s_x; stage-final blocks (which feed a pool /
-    concat / the logits) keep compute-dtype output."""
+    s_out == its successor's s_x. Stage-final blocks feed through
+    fuse_pool_edges (round 4): encoder finals that cross ONLY a max pool
+    fuse into the next encoder stage; finals that feed an upsample /
+    concat / the logits keep compute-dtype output."""
     from pytorch_camvid_tpu.models import get_model
+    from pytorch_camvid_tpu.ops.quant import _POOL_EDGES
+    # UNet has NO pool-fusable edges (its encoder outputs double as
+    # decoder skips — see _POOL_EDGES): every stage-final block keeps the
+    # compute-dtype output
     init_fn, apply_fn = get_model("unet", 3, 12)
     variables = init_fn(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
@@ -124,6 +169,16 @@ def test_fused_handoff_marks_direct_edges_only():
                 assert float(blk["s_out"]) == float(blocks[i + 1]["s_x"])
             else:
                 assert "s_out" not in blk, (name, i)
+    # SegNet fuses every pool/unpool boundary (index-only skips)
+    init_s, apply_s = get_model("segnet", 3, 12)
+    vs = init_s(jax.random.PRNGKey(2))
+    amax_s = calibrate(apply_s, vs, [x], compute_dtype=jnp.float32)
+    qs = quantize_variables(vs, amax_s)["params"]
+    for a, c in _POOL_EDGES["encoder1"]:
+        if "w_q" in qs[c][0]:
+            assert float(qs[a][-1]["s_out"]) == float(qs[c][0]["s_x"]), a
+        else:  # the bf16 head never becomes a fusion consumer
+            assert "s_out" not in qs[a][-1], a
 
 
 def test_fused_handoff_bitexact_at_f32_vs_unfused():
@@ -139,13 +194,48 @@ def test_fused_handoff_bitexact_at_f32_vs_unfused():
         amax = calibrate(apply_fn, variables, [x],
                          compute_dtype=jnp.float32)
         q_unfused = quantize_variables(variables, amax, fuse_handoff=False)
-        q_fused = quantize_variables(variables, amax, fuse_handoff=True)
+        # fuse_pool=False isolates the in-stage handoff, which is exactly
+        # rounding-placement-equal for both nets; SegNet's POOL-edge
+        # fusion can legitimately flip argmax positions on quantized ties
+        # (see test_pool_edge_fusion) so it is tested separately
+        q_fused = quantize_variables(variables, amax, fuse_handoff=True,
+                                     fuse_pool=False)
         ref, _ = apply_fn(q_unfused, x, train=False,
                           compute_dtype=jnp.float32)
         got, _ = apply_fn(q_fused, x, train=False,
                           compute_dtype=jnp.float32)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
                                       err_msg=net)
+
+
+def test_pool_edge_fusion():
+    """Pool-edge int8 handoff (round 4): max pool commutes with the
+    monotone quantization map, so UNet's pool-fused forward is BIT-EQUAL
+    to the pool-unfused one at f32 compute. SegNet's pool records argmax
+    positions on quantized values where near-ties can collapse, so its
+    assertion is argmax-map agreement."""
+    from pytorch_camvid_tpu.models import get_model
+    init_fn, apply_fn = get_model("segnet", 3, 12)
+    variables = init_fn(jax.random.PRNGKey(11))
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, 32, 32, 3))
+    amax = calibrate(apply_fn, variables, [x], compute_dtype=jnp.float32)
+    q_nopool = quantize_variables(variables, amax, fuse_pool=False)
+    q_pool = quantize_variables(variables, amax, fuse_pool=True)
+    # the pool edges really are marked
+    assert "s_out" in q_pool["params"]["encoder4"][-1]
+    assert "s_out" not in q_nopool["params"]["encoder4"][-1]
+    ref, _ = apply_fn(q_nopool, x, train=False, compute_dtype=jnp.float32)
+    got, _ = apply_fn(q_pool, x, train=False, compute_dtype=jnp.float32)
+    agree = (np.asarray(jnp.argmax(got, -1))
+             == np.asarray(jnp.argmax(ref, -1))).mean()
+    assert agree > 0.95, agree
+    # UNet: encoder outputs double as skips, so fuse_pool must be a no-op
+    init_u, apply_u = get_model("unet", 3, 12)
+    vu = init_u(jax.random.PRNGKey(13))
+    amax_u = calibrate(apply_u, vu, [x], compute_dtype=jnp.float32)
+    qu = quantize_variables(vu, amax_u, fuse_pool=True)["params"]
+    for name in ("down1", "down2", "down3", "down4", "down5"):
+        assert "s_out" not in qu[name][-1], name
 
 
 def test_fused_handoff_bf16_agreement():

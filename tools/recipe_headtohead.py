@@ -9,14 +9,23 @@ the same final quality when each side trains normally (own shuffling, many
 epochs) on data hard enough to rank recipes (hard_synthetic_arrays: color
 Bayes ~24%, texture readable only with spatial context)?
 
-Writes run_artifacts/recipe_headtohead.json with per-epoch mIOU for both
-sides, for UNet and SegNet, plus the task's color-only Bayes accuracy.
+v2 (VERDICT r3 #5): multiple seeds per side, a larger task (96x128,
+128 train images — up from the round-3 48x64/32), mean±sd per side and a
+programmatic overlap verdict. Legs run incrementally (one seed x net x
+side per invocation if desired) and merge into
+run_artifacts/recipe_headtohead_v2.json, because the torch arm costs
+tens of minutes per seed on the 1-core host; our arm runs on whatever
+jax backend is default (the TPU chip when attached — this is a quality
+claim, not a bit-parity claim, so the backend is free).
 
-Usage: JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python tools/recipe_headtohead.py
+Usage:
+  python tools/recipe_headtohead.py --nets unet --seeds 0 1 2
+  python tools/recipe_headtohead.py --summarize   # print verdict table
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -28,14 +37,16 @@ sys.path.insert(0, "/root/repo")
 
 from tools.trajectory_lockstep import import_reference_model  # noqa: E402
 
-HW = (48, 64)
-N_TRAIN, N_VAL = 32, 16
+HW = (96, 128)
+N_TRAIN, N_VAL = 128, 32
 BATCH = 8
-EPOCHS = 12        # UNet is decisive by 12; SegNet's unpool decoder
-EPOCHS_SEGNET = 36  # learns ~3x slower from scratch (measured curves)
+EPOCHS = {"unet": 10, "segnet": 16}  # SegNet's unpool decoder learns
+# slower from scratch; at the v2 task size (16 steps/epoch, 4x the pixels)
+# both curves flatten well before these caps (recorded curves in the json)
 LR = 5e-4
 MEAN = (0.5, 0.5, 0.5)
 STD = (0.25, 0.25, 0.25)
+OUT = os.path.join("run_artifacts", "recipe_headtohead_v2.json")
 
 
 def _miou_from_cm(cm: np.ndarray, ignore_index: int = 11) -> float:
@@ -52,7 +63,7 @@ def _normalize(images_u8: np.ndarray) -> np.ndarray:
 
 
 def run_reference_recipe(net_name: str, cls_name: str, train, val,
-                         seed: int = 0, epochs: int = EPOCHS):
+                         seed: int, epochs: int):
     """The reference training loop, faithfully: AdamW + OneCycleLR stepped
     per batch + plain CE (train.py:100-134), eval via the confusion-matrix
     Metrics definition (legacy/metrics.py / eval.py:40-72)."""
@@ -98,18 +109,18 @@ def run_reference_recipe(net_name: str, cls_name: str, train, val,
                     (want.reshape(-1) * 12 + preds.reshape(-1)),
                     minlength=144).reshape(12, 12)
         curve.append(round(_miou_from_cm(cm), 4))
+        print(f"  ref {net_name} seed{seed} epoch {epoch + 1}/{epochs}: "
+              f"miou {curve[-1]:.4f}", flush=True)
     return curve
 
 
-def run_our_recipe(net_name: str, train, val, seed: int = 0,
-                   epochs: int = EPOCHS):
+def run_our_recipe(net_name: str, train, val, seed: int, epochs: int):
     """Our recipe on the same raw arrays, mirrored from the library
     primitives with no augmentation (matching the torch arm) so both sides
     see identically-distributed data."""
     import jax
     import jax.numpy as jnp
     from pytorch_camvid_tpu.models import get_model
-    from pytorch_camvid_tpu.ops.metrics import confusion_matrix
     from pytorch_camvid_tpu.train import (
         TrainState, adamw, make_train_step, make_eval_step, onecycle_lr,
         onecycle_beta1)
@@ -145,48 +156,97 @@ def run_our_recipe(net_name: str, train, val, seed: int = 0,
     return curve
 
 
+def _load():
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            return json.load(f)
+    return {"task": {"hw": HW, "n_train": N_TRAIN, "n_val": N_VAL,
+                     "batch": BATCH, "epochs": EPOCHS, "lr": LR},
+            "legs": {}}
+
+
+def _save(doc):
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    tmp = OUT + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1)
+    os.replace(tmp, OUT)
+
+
+def summarize(doc):
+    """Per-net mean±sd for both sides + overlap verdict. The claim shipped
+    in README: the recipes land within each other's seed spread."""
+    summary = {}
+    for net in ("unet", "segnet"):
+        ours = [v["curve"][-1] for k, v in doc["legs"].items()
+                if v["net"] == net and v["side"] == "ours"]
+        ref = [v["curve"][-1] for k, v in doc["legs"].items()
+               if v["net"] == net and v["side"] == "reference"]
+        if not ours or not ref:
+            continue
+        mo, so = float(np.mean(ours)), float(np.std(ours))
+        mr, sr = float(np.mean(ref)), float(np.std(ref))
+        gap = mo - mr
+        # overlap: |mean gap| within the combined 2-sigma seed spread
+        # (plus an absolute floor for the tiny-variance case)
+        tol = 2.0 * (so + sr) + 0.01
+        summary[net] = {
+            "ours_mean": round(mo, 4), "ours_sd": round(so, 4),
+            "ref_mean": round(mr, 4), "ref_sd": round(sr, 4),
+            "n_seeds": [len(ours), len(ref)],
+            "gap": round(gap, 4), "tol_2sigma": round(tol, 4),
+            "overlap": bool(abs(gap) <= tol) or gap > 0,
+        }
+        print(f"{net}: ours {mo:.4f}±{so:.4f} (n={len(ours)}) vs "
+              f"reference {mr:.4f}±{sr:.4f} (n={len(ref)}) -> gap "
+              f"{gap:+.4f} (tol {tol:.4f}) "
+              f"{'OVERLAP/AHEAD' if summary[net]['overlap'] else 'GAP'}")
+    doc["summary"] = summary
+    return doc
+
+
 def main():
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nets", nargs="*", default=["unet", "segnet"])
+    ap.add_argument("--seeds", nargs="*", type=int, default=[0, 1, 2])
+    ap.add_argument("--sides", nargs="*", default=["ours", "reference"])
+    ap.add_argument("--summarize", action="store_true")
+    args = ap.parse_args()
+
+    doc = _load()
+    if args.summarize:
+        _save(summarize(doc))
+        return
+
     from pytorch_camvid_tpu.data.synthetic import (
         hard_synthetic_arrays, color_bayes_accuracy)
-
     train = hard_synthetic_arrays(N_TRAIN, HW, seed=0)
     val = hard_synthetic_arrays(N_VAL, HW, seed=1)
-    bayes = color_bayes_accuracy(*val)
+    doc["task"]["color_only_bayes_acc"] = round(
+        color_bayes_accuracy(*val), 4)
 
-    out = {"task": {"hw": HW, "n_train": N_TRAIN, "n_val": N_VAL,
-                    "batch": BATCH, "epochs": EPOCHS,
-                    "epochs_segnet": EPOCHS_SEGNET, "lr": LR,
-                    "color_only_bayes_acc": round(bayes, 4)},
-           "nets": {}}
-    for net_name, cls_name in [("unet", "UNet"), ("segnet", "SegNet")]:
-        ep = EPOCHS_SEGNET if net_name == "segnet" else EPOCHS
-        t0 = time.time()
-        ours = run_our_recipe(net_name, train, val, seed=0, epochs=ep)
-        t_ours = time.time() - t0
-        # a second seed for ours bounds run-to-run noise on this task
-        ours2 = run_our_recipe(net_name, train, val, seed=7, epochs=ep)
-        t0 = time.time()
-        theirs = run_reference_recipe(net_name, cls_name, train, val,
-                                      seed=0, epochs=ep)
-        t_ref = time.time() - t0
-        noise = abs(ours[-1] - ours2[-1])
-        out["nets"][net_name] = {
-            "ours_miou_curve": ours,
-            "ours_seed7_final": ours2[-1],
-            "reference_miou_curve": theirs,
-            "final_gap": round(ours[-1] - theirs[-1], 4),
-            "seed_noise": round(noise, 4),
-            "wall_s": {"ours": round(t_ours, 1),
-                       "reference": round(t_ref, 1)},
-        }
-        print(f"{net_name}: ours {ours[-1]:.4f} (seed7 {ours2[-1]:.4f}) "
-              f"vs reference {theirs[-1]:.4f}  "
-              f"[color-only bayes acc {bayes:.3f}]")
-    os.makedirs("run_artifacts", exist_ok=True)
-    with open("run_artifacts/recipe_headtohead.json", "w") as f:
-        json.dump(out, f, indent=1)
-    print("wrote run_artifacts/recipe_headtohead.json")
+    for net in args.nets:
+        cls = {"unet": "UNet", "segnet": "SegNet"}[net]
+        for seed in args.seeds:
+            for side in args.sides:
+                key = f"{net}/{side}/seed{seed}"
+                if key in doc["legs"]:
+                    print(f"skip {key} (already recorded)")
+                    continue
+                t0 = time.time()
+                if side == "ours":
+                    curve = run_our_recipe(net, train, val, seed,
+                                           EPOCHS[net])
+                else:
+                    curve = run_reference_recipe(net, cls, train, val,
+                                                 seed, EPOCHS[net])
+                doc["legs"][key] = {
+                    "net": net, "side": side, "seed": seed,
+                    "curve": curve, "wall_s": round(time.time() - t0, 1)}
+                _save(doc)
+                print(f"{key}: final {curve[-1]:.4f} "
+                      f"({doc['legs'][key]['wall_s']}s)", flush=True)
+    _save(summarize(doc))
 
 
 if __name__ == "__main__":
