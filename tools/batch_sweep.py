@@ -18,6 +18,7 @@ Usage:
 import argparse
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -40,15 +41,37 @@ def main(argv=None):
     enable_compilation_cache()
     from bench import measure_train
 
+    # dedupe: skip (net, batch, remat) configs already recorded in -out
+    # (ADVICE r3: retried runs duplicated rows and made artifacts noisy)
+    done = set()
+    if args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                    if "error" not in r:  # failed rows may be retried
+                        done.add((r["net"], r["batch_size"],
+                                  r.get("remat", False)))
+                except ValueError:
+                    pass
+
+    ansi = re.compile(r"\x1b\[[0-9;]*m")
     rows = []
     for b in args.batches:
+        if (args.net, b, args.remat) in done:
+            print(json.dumps({"net": args.net, "batch_size": b,
+                              "remat": args.remat, "skipped":
+                              "already recorded"}), flush=True)
+            continue
         row = {"net": args.net, "batch_size": b, "steps": args.steps,
                "remat": args.remat}
         try:
             row.update(measure_train(args.net, batch_size=b,
                                      steps=args.steps, remat=args.remat))
         except Exception as e:  # XlaRuntimeError OOM etc. — part of the curve
-            row["error"] = f"{type(e).__name__}: {e}"[:300]
+            # strip ANSI escapes and keep the full first line + cause tail
+            msg = ansi.sub("", f"{type(e).__name__}: {e}")
+            row["error"] = msg[:1000]
         print(json.dumps(row), flush=True)
         rows.append(row)
         if args.out:
