@@ -32,6 +32,7 @@ SLOW_FILES = {
     "test_pallas_kernels.py",
     "test_export_stablehlo.py",  # serialize + deserialize + re-execute
     "test_round2_parity.py",
+    "test_voc_dp.py",           # multi-epoch VOC DP training (~9 min)
 }
 
 

@@ -194,6 +194,11 @@ def summarize(doc):
             "ours_mean": round(mo, 4), "ours_sd": round(so, 4),
             "ref_mean": round(mr, 4), "ref_sd": round(sr, 4),
             "n_seeds": [len(ours), len(ref)],
+            # the full-strength claim needs >=3 seeds per side; legs run
+            # incrementally (the torch arm costs ~30-50 min/seed on this
+            # 1-core host), so partially-seeded nets are recorded but
+            # marked incomplete and asserted softly by the tier test
+            "complete": min(len(ours), len(ref)) >= 3,
             "gap": round(gap, 4), "tol_2sigma": round(tol, 4),
             "overlap": bool(abs(gap) <= tol) or gap > 0,
         }
