@@ -232,6 +232,17 @@ def measure_serving(net: str = "unet", batch_size: int = 24,
     # nibble-packed class-map batch (what predict() actually transfers)
     floor_ms = _d2h_floor_ms((batch_size, hw[0], hw[1] // 2))
     d2h_bound_ips = batch_size / (floor_ms / 1000.0)
+    # ...and the second weather dimension: per-dispatch round-trip
+    # latency. At bad weather the tunnel's RPC latency (not its D2H
+    # bandwidth) caps the pipeline — a chunk costs ~3 round-trips (H2D,
+    # dispatch, D2H) — so both floors are recorded for normalization.
+    import jax.numpy as _jnp
+    _g = jax.jit(lambda s: s + 1)
+    _ = int(_g(_jnp.int32(0)))
+    _t0 = time.perf_counter()
+    for _i in range(10):
+        _ = int(_g(_jnp.int32(_i)))
+    rtt_ms = 100.0 * (time.perf_counter() - _t0)  # /10 iters * 1000
 
     # compute-only row: device-resident input, ONE SCALAR synced per
     # timing fence — block_until_ready is unreliable through the axon
@@ -272,6 +283,7 @@ def measure_serving(net: str = "unet", batch_size: int = 24,
         # tunnel-weather normalization: e2e relative to this run's D2H
         # bound; compare THIS across rounds, not raw images_per_sec
         "d2h_floor_ms_packed_chunk": round(floor_ms, 1),
+        "dispatch_rtt_ms": round(rtt_ms, 2),
         "e2e_over_d2h_bound": round(ips / d2h_bound_ips, 3),
         "images_per_sec_compute_only": round(ips_compute, 2),
         "mfu_compute_only": _mfu(ips_compute, flops_per_image, peak),
