@@ -209,6 +209,28 @@ def _d2h_floor_ms(shape, reps: int = 3) -> float:
     return 1000.0 * float(np.median(ts))
 
 
+def _h2d_floor_ms(shape, reps: int = 3) -> float:
+    """Sustained host->device time for a FRESH uint8 array of ``shape`` —
+    the input-side twin of _d2h_floor_ms (same tunnel-weather rationale).
+    Fresh host array per rep; a trailing scalar fetch fences the transfer
+    (device_put returns before the bytes land)."""
+    import jax
+    import jax.numpy as jnp
+
+    g = jax.jit(lambda x: x[0, 0, 0].astype(jnp.int32) + 1)
+    host = np.zeros(shape, np.uint8)
+    d = jax.device_put(host)
+    _ = int(g(d))  # compile
+    ts = []
+    for i in range(reps):
+        host = np.full(shape, i + 1, np.uint8)
+        t0 = time.perf_counter()
+        d = jax.device_put(host)
+        _ = int(g(d))
+        ts.append(time.perf_counter() - t0)
+    return 1000.0 * float(np.median(ts))
+
+
 def measure_serving(net: str = "unet", batch_size: int = 24,
                     n_images: int = 240, hw=(360, 480)) -> dict:
     import jax

@@ -49,6 +49,9 @@ def init_segnet(key: jax.Array, input_channels: int = 3, class_num: int = 12,
     no apply changes)."""
     spec = _segnet_spec(input_channels, class_num)
     if width_mult != 1.0:
+        from pytorch_camvid_tpu.models.unet import _check_width_mult
+        _check_width_mult(spec, width_mult, input_channels, class_num)
+
         def s(c):
             return max(4, int(round(c * width_mult)))
         spec = [(name, [(s(a), s(b)) for a, b in pairs])

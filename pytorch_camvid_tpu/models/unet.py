@@ -47,6 +47,32 @@ def _unet_spec(in_ch: int, num_classes: int):
     ]
 
 
+def _check_width_mult(spec, width_mult: float, in_ch: int, num_classes: int):
+    """Validate a width multiplier at init time (ADVICE r4 #1).
+
+    Concat/skip edges require the per-channel scaling to be ADDITIVE:
+    s(c1+c2) == s(c1)+s(c2) (e.g. UNet's up1 conv consumes the channel
+    concat of upsample1's output and down4's skip). The scale function
+    s(c) = max(4, round(c*w)) is only additive when every scaled internal
+    channel is an exact integer >= the clamp floor — then s(c) == c*w
+    exactly and linearity holds. Reject anything else up front with a
+    clear message instead of crashing inside apply with a shape error."""
+    internal = sorted({c for _, pairs in spec for pair in pairs
+                       for c in pair})
+    internal = [c for c in internal if c not in (in_ch, num_classes)]
+    bad = [c for c in internal
+           if (c * width_mult != int(c * width_mult)
+               or c * width_mult < 4)]
+    if bad:
+        raise ValueError(
+            f"width_mult={width_mult} is invalid: scaled channels for "
+            f"{bad} are fractional or below the clamp floor of 4, which "
+            f"breaks concat-edge additivity (s(c1+c2) must equal "
+            f"s(c1)+s(c2)). Use a multiplier where every internal channel "
+            f"count times width_mult is an integer >= 4 (e.g. 1/8 for "
+            f"the 64..1024 family).")
+
+
 def init_unet(key: jax.Array, input_channels: int = 3, class_num: int = 12,
               width_mult: float = 1.0):
     """width_mult < 1 scales every internal channel count (data-facing
@@ -56,6 +82,8 @@ def init_unet(key: jax.Array, input_channels: int = 3, class_num: int = 12,
     the 34.5M-param flagship's single-core XLA compile time."""
     spec = _unet_spec(input_channels, class_num)
     if width_mult != 1.0:
+        _check_width_mult(spec, width_mult, input_channels, class_num)
+
         def s(c):
             return max(4, int(round(c * width_mult)))
         spec = [(name, [(s(a), s(b)) for a, b in pairs])

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from pytorch_camvid_tpu.ops.pooling import max_pool_2x2
 from pytorch_camvid_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -107,11 +108,11 @@ def encoder_stage_halo(params_list, states_list, x: jax.Array,
                       | ((idx == ndev - 1) & (rows >= xh.shape[1] - d)))
             xh = jnp.where(beyond, jnp.zeros_like(xh), xh)
 
-    # (N, H_local, W, C') after k VALID convs; local 2x2 max pool
-    return lax.reduce_window(
-        xh, -jnp.inf if jnp.issubdtype(xh.dtype, jnp.floating)
-        else jnp.array(jnp.iinfo(xh.dtype).min, xh.dtype),
-        lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    # (N, H_local, W, C') after k VALID convs; local 2x2 max pool via the
+    # shared op (ADVICE r4 #2: it builds the reduce_window init the one
+    # way that keeps the VJP differentiable AND dtype-exact, so a future
+    # training-time spatial stage doesn't re-hit the fixed bug)
+    return max_pool_2x2(xh)
 
 
 def make_spatial_stage(mesh: Mesh, axis_name: str = DATA_AXIS):

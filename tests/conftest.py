@@ -33,6 +33,7 @@ SLOW_FILES = {
     "test_export_stablehlo.py",  # serialize + deserialize + re-execute
     "test_round2_parity.py",
     "test_voc_dp.py",           # multi-epoch VOC DP training (~9 min)
+    "test_replay_rehearsal.py",  # REPLAY.md runbook executed end-to-end
 }
 
 
@@ -40,3 +41,17 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if os.path.basename(str(item.fspath)) in SLOW_FILES:
             item.add_marker(pytest.mark.slow)
+
+
+def pytest_report_header(config):
+    """Make the default tier split VISIBLE (ADVICE r4 #4): a plain
+    `pytest tests/` silently deselects the slow tier via pyproject's
+    addopts, which would otherwise hide the multi-process / convergence /
+    lockstep-parity coverage from anyone not reading docs/TESTING.md."""
+    mark = config.getoption("-m")
+    if mark == "not slow":
+        return ("NOTE: fast tier only — the slow tier (multihost, "
+                "convergence, torch-lockstep, Pallas interpret, export) is "
+                "DESELECTED by pyproject addopts. Full coverage: "
+                "pytest -m 'slow or not slow' (docs/TESTING.md).")
+    return None

@@ -85,16 +85,35 @@ def _free_port():
     return port
 
 
-def _run(nproc, ckpt_dir, attempts=2):
-    """Launch the workers; on failure retry ONCE with a fresh port.
+# Worker-output signatures of the two documented environment races that
+# justify a retry (ADVICE r4 #3: retrying on ANY nonzero exit would mask a
+# genuinely flaky product failure): (a) the coordinator port is claimed
+# between _free_port() releasing it and jax.distributed binding it, and
+# (b) the distributed-runtime init/heartbeat window expires because a
+# worker stalled behind other processes' compiles on the loaded CI host.
+_ENV_RACE_SIGNATURES = (
+    "address already in use",   # (a) port stolen
+    "failed to bind",           # (a)
+    "deadline_exceeded",        # (b) init window / barrier timeout
+    "timed out",                # (b)
+    "heartbeat",                # (b) worker evicted by heartbeat
+    "coordination service",     # (b) coordinator-side eviction text
+    "unavailable: connection",  # (b) worker outlived coordinator
+)
 
-    Two irreducible races on a loaded shared host justify the single
-    retry (VERDICT r3 #4): (a) the free port can be claimed between
-    _free_port() releasing it and the coordinator binding it, and (b)
-    the distributed-runtime heartbeat can evict a worker that stalls
-    behind other processes' compiles. Both are environment races, not
-    product behavior; a genuine numerical mismatch still fails — the
-    equivalence asserts run on the final attempt's output either way."""
+
+def _is_env_race(outs) -> bool:
+    text = "\n".join(outs).lower()
+    return any(sig in text for sig in _ENV_RACE_SIGNATURES)
+
+
+def _run(nproc, ckpt_dir, attempts=2):
+    """Launch the workers; retry ONCE, and only when the failure text
+    matches a recognized environment race (signatures above). A nonzero
+    exit WITHOUT a matching signature — e.g. a checkpoint write race or
+    an intermittent collective bug — fails immediately so a product flake
+    can never pass on attempt 2. A genuine numerical mismatch always
+    fails: the equivalence asserts run on the final attempt's output."""
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
     script = WORKER.replace("__REPO__", REPO)
@@ -109,6 +128,10 @@ def _run(nproc, ckpt_dir, attempts=2):
         if all(p.returncode == 0 for p in procs):
             return outs
         last = [(p.returncode, o[-3000:]) for p, o in zip(procs, outs)]
+        if not _is_env_race(outs):
+            raise AssertionError(
+                f"workers failed with no recognized environment-race "
+                f"signature (not retried): {last}")
         # a failed attempt leaves stale checkpoints the writer-count
         # assertions would trip over
         for f in os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else []:
