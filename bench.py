@@ -177,6 +177,7 @@ def measure_train(net: str = "unet", batch_size: int = 24, steps: int = 100,
         "images_per_sec": round(ips, 2),
         "mfu": _mfu(ips, flops_per_image, peak),
         "step_ms": round(1000.0 * dt / steps, 2),
+        "batch_size": batch_size,
         "train_tflop_per_image": round(flops_per_image / 1e12, 4),
     }
 
@@ -355,8 +356,13 @@ def main() -> dict:
     from pytorch_camvid_tpu.runtime import enable_compilation_cache
     enable_compilation_cache()
 
-    unet = measure_train("unet")
-    segnet = measure_train("segnet")
+    # each net at its measured-best batch (VERDICT r4 #3): the sweeps
+    # (run_artifacts/batch_sweep_{unet,segnet}_v2.jsonl) put UNet's peak
+    # at b24 (b16 83.4 / b24 84.3 / b32 80.0) and SegNet's at b32
+    # (b24 110.6 / b32 114.8 / b40 110.3 / b48 101.9 — round-5 extension
+    # confirms the b32 peak; remat arms unnecessary, plain b48 compiles)
+    unet = measure_train("unet", batch_size=24)
+    segnet = measure_train("segnet", batch_size=32)
     # same request size for both nets: r3 ran SegNet at 120 images (half
     # UNet's 240), which halves pipeline-ramp amortization and manufactured
     # a phantom 1.7x 'asymmetry' on top of tunnel jitter (VERDICT r3 #4)

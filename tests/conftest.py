@@ -37,9 +37,32 @@ SLOW_FILES = {
 }
 
 
+# Individual long tests moved to the slow tier to keep the fast tier
+# under its 20-min budget (VERDICT r4 #6; measured ranking:
+# run_artifacts/fast_tier_durations_r5.txt — these seven cost 719 s of
+# the 30:03 total). Each keeps a faster sibling in the fast tier:
+# elastic restore -> test_dp_train_step_matches_single_device + the
+# driver dryrun phase 3; serve CLI e2e -> test_serving.py Predictor
+# coverage; preempt resume -> test_checkpoint_roundtrip_step_exact;
+# chained-dispatch loop surface -> test_dispatch_chain_matches_unchained;
+# program dump in the loop -> test_dump_program_writes_stablehlo;
+# saves-best history -> test_run_training_host_loader; remat A/B ->
+# the remat config stays exercised by the b40 sweep artifact.
+SLOW_TESTS = {
+    "test_elastic_checkpoint_restore_across_mesh_shapes",   # 150s
+    "test_serve_cli_end_to_end",                            # 110s
+    "test_preempt_midepoch_resume_is_step_exact",           # 103s
+    "test_dispatch_chain_run_training_surface",             # 97s
+    "test_train_run_dumps_program",                         # 90s
+    "test_run_training_saves_best_and_returns_history",     # 87s
+    "test_remat_step_matches_plain",                        # 81s
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if os.path.basename(str(item.fspath)) in SLOW_FILES:
+        if (os.path.basename(str(item.fspath)) in SLOW_FILES
+                or item.name.split("[")[0] in SLOW_TESTS):
             item.add_marker(pytest.mark.slow)
 
 
