@@ -46,7 +46,7 @@ jax.config.update("jax_platforms", "cpu")
 """
 
 
-def _run(cmd, cwd, env, timeout=900):
+def _run(cmd, cwd, env, timeout=1800):
     # scripts live at the repo root; cwd is the rehearsal dir so the
     # cwd-relative checkpoints/ + predict outputs land there (reference
     # behavior)
@@ -71,7 +71,9 @@ def test_replay_runbook_sequence_executes():
         # ---- fixture: a camvid.tgz with the fast.ai layout ----
         from pytorch_camvid_tpu.data.synthetic import write_synthetic_camvid
         stage = os.path.join(td, "stage")
-        write_synthetic_camvid(stage, n_train=8, n_val=4, hw=(120, 160),
+        # 4+2 images: the flagship train step's XLA compile dominates the
+        # 1-core wall time (~7-10 min); data volume is structural here
+        write_synthetic_camvid(stage, n_train=4, n_val=2, hw=(120, 160),
                                structured=True)
         data_root = os.path.join(td, "data")
         os.makedirs(data_root)
@@ -109,7 +111,7 @@ def test_replay_runbook_sequence_executes():
         out = _run(["eval.py", "-net", "unet", "-weight", weight,
                     "-data", data_root, "-image_size", "120", "90",
                     "-b", "2"], cwd=td, env=env)
-        m = re.search(r"Miou[^\d]*([\d.]+)", out)
+        m = re.search(r"miou[^\d]*([\d.]+)", out, re.IGNORECASE)
         assert m, out[-2000:]
         miou = float(m.group(1))
         assert 0.0 <= miou <= 1.0
