@@ -254,6 +254,11 @@ def measure_serving(net: str = "unet", batch_size: int = 24,
     # tunnel weather, measured in the same run: D2H floor for one chunk's
     # nibble-packed class-map batch (what predict() actually transfers)
     floor_ms = _d2h_floor_ms((batch_size, hw[0], hw[1] // 2))
+    # H2D floor measured HERE, bracketed with the D2H floor right after
+    # the e2e run it normalizes: the tunnel drifts 3-5x within a session,
+    # so floors sampled minutes later make e2e_over_predicted weather
+    # noise rather than a pipeline indicator
+    h2d_floor = _h2d_floor_ms((batch_size, hw[0], hw[1], 3))
     d2h_bound_ips = batch_size / (floor_ms / 1000.0)
     # ...and the second weather dimension: per-dispatch round-trip
     # latency. At bad weather the tunnel's RPC latency (not its D2H
@@ -307,9 +312,10 @@ def measure_serving(net: str = "unet", batch_size: int = 24,
     out8 = p8.predict(images)
     ips_e2e_int8 = n_images / (time.perf_counter() - t0)
     assert out8.shape == (n_images, hw[0], hw[1])
-
-    # third same-run floor: H2D of one chunk's uint8 input batch
-    h2d_floor = _h2d_floor_ms((batch_size, hw[0], hw[1], 3))
+    # floors re-bracketed for the int8 arm (it runs minutes after the
+    # bf16 floors; same drift rationale as above)
+    floor_ms_8 = _d2h_floor_ms((batch_size, hw[0], hw[1] // 2))
+    h2d_floor_8 = _h2d_floor_ms((batch_size, hw[0], hw[1], 3))
 
     # predicted_e2e (VERDICT r4 #1): the per-chunk timeline work
     # (tools/serving_timeline.py, run_artifacts/serving_timeline_unet.jsonl)
@@ -321,9 +327,9 @@ def measure_serving(net: str = "unet", batch_size: int = 24,
     # share one stream. e2e_over_predicted ~ 0.8-1.2 means "accounted
     # for"; compare THAT across rounds, not raw img/s through a
     # nonstationary tunnel.
-    def predicted(ips_compute_arm):
+    def predicted(ips_compute_arm, h2d, d2h):
         compute_chunk_ms = 1000.0 * batch_size / ips_compute_arm
-        period_ms = h2d_floor + floor_ms + compute_chunk_ms
+        period_ms = h2d + d2h + compute_chunk_ms
         return batch_size / (period_ms / 1000.0)
 
     flops_per_image = _conv_fwd_flops(net, hw)
@@ -337,11 +343,14 @@ def measure_serving(net: str = "unet", batch_size: int = 24,
         "h2d_floor_ms_input_chunk": round(h2d_floor, 1),
         "dispatch_rtt_ms": round(rtt_ms, 2),
         "e2e_over_d2h_bound": round(ips / d2h_bound_ips, 3),
-        "predicted_e2e": round(predicted(ips_compute), 2),
-        "e2e_over_predicted": round(ips / predicted(ips_compute), 3),
+        "predicted_e2e": round(predicted(ips_compute, h2d_floor,
+                                         floor_ms), 2),
+        "e2e_over_predicted": round(
+            ips / predicted(ips_compute, h2d_floor, floor_ms), 3),
         "images_per_sec_int8": round(ips_e2e_int8, 2),
         "int8_e2e_over_predicted": round(
-            ips_e2e_int8 / predicted(ips_int8), 3),
+            ips_e2e_int8 / predicted(ips_int8, h2d_floor_8, floor_ms_8),
+            3),
         "images_per_sec_compute_only": round(ips_compute, 2),
         "mfu_compute_only": _mfu(ips_compute, flops_per_image, peak),
         "images_per_sec_compute_only_int8": round(ips_int8, 2),
@@ -350,6 +359,41 @@ def measure_serving(net: str = "unet", batch_size: int = 24,
                                       None if peak is None else 2 * peak),
         "int8_speedup": round(ips_int8 / ips_compute, 3),
     }
+
+
+def _measure_serving_subprocess(net: str, timeout_s: float = 1200.0):
+    """Run measure_serving in a CHILD process with a hard timeout.
+
+    Round 5 observed three full tunnel stalls (HARDWARE.md 2026-08-21):
+    the device link freezes for 10-40+ min, every jax call hangs in C
+    code, and no in-process timeout can recover. All three stalls struck
+    during or right after sustained serving D2H traffic — exactly what
+    this measurement generates. Isolating it in a killable child means a
+    stall costs one serving row (recorded as an error), not the whole
+    bench run and its train headline."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+    code = (
+        "import json, bench; "
+        "from pytorch_camvid_tpu.runtime import enable_compilation_cache; "
+        "enable_compilation_cache(); "
+        f"print('BENCHROW ' + json.dumps(bench.measure_serving({net!r})))")
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in p.stdout.splitlines():
+            if line.startswith("BENCHROW "):
+                return _json.loads(line[len("BENCHROW "):])
+        return {"error": f"serving child rc={p.returncode}: "
+                         f"{(p.stderr or p.stdout)[-400:]}"}
+    except subprocess.TimeoutExpired:
+        return {"error": f"serving measurement exceeded {timeout_s:.0f}s "
+                         "— tunnel stall (HARDWARE.md round-5); train "
+                         "rows above are unaffected"}
 
 
 def main() -> dict:
@@ -366,8 +410,8 @@ def main() -> dict:
     # same request size for both nets: r3 ran SegNet at 120 images (half
     # UNet's 240), which halves pipeline-ramp amortization and manufactured
     # a phantom 1.7x 'asymmetry' on top of tunnel jitter (VERDICT r3 #4)
-    serving = measure_serving("unet")
-    segnet_serving = measure_serving("segnet")
+    serving = _measure_serving_subprocess("unet")
+    segnet_serving = _measure_serving_subprocess("segnet")
 
     return {
         "metric": "camvid_unet_360x480_train_images_per_sec_per_chip",
